@@ -1,0 +1,223 @@
+"""Typed configuration for every pipeline stage.
+
+The reference encodes its configuration as module-level constants repeated in
+every script plus a params string baked into every artifact filename
+(reference: gan_train_cwgangp_pixelnorm.py:51-114).  Here the same knobs live
+in frozen dataclasses, and :func:`DataConfig.params_string` reproduces the
+reference filename codec exactly so artifacts stay name-compatible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+class Conditioning:
+    """Conditioning-channel variants of the model.
+
+    BASE: condition = normalized daily sum only (1 channel).
+    DOY:  + sin/cos of day-of-year (3 channels)
+          (reference: revision1/additional_inputs/gan_train_cwgangp_pixelnorm_doy.py:135).
+    LON:  + normalized x-index of the patch (2 channels)
+          (reference: revision1/additional_inputs/gan_train_cwgangp_pixelnorm_lon.py:136).
+    """
+
+    BASE = "base"
+    DOY = "doy"
+    LON = "lon"
+
+    N_CHANNELS = {BASE: 1, DOY: 3, LON: 2}
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset / patch-extraction configuration.
+
+    Defaults replicate the reference training setup
+    (reference: gan_train_cwgangp_pixelnorm.py:51-64).
+    """
+
+    startdate: str = "20090101"
+    enddate: str = "20161231"
+    ndomain: int = 16          # patch size in gridpoints
+    stride: int = 16           # stride of the valid-box sweep
+    tres: int = 1              # temporal resolution in hours
+    tp_thresh_daily: float = 5.0   # mm threshold on the daily sum
+    n_thresh: int = 20         # min number of gridpoints above threshold
+    norm_scale: float = 127.4  # 99.9th percentile of 2010 daily sums
+    conditioning: str = Conditioning.BASE
+    # Epsilon guarding the hourly/daily-sum division.  The reference divides
+    # unguarded (gan_train_cwgangp_pixelnorm.py:162-163) and survives only
+    # because valid radar patches are never exactly dry; we make the guard
+    # explicit so synthetic/edge data cannot produce NaN fractions.
+    frac_eps: float = 1e-12
+
+    @property
+    def nhours(self) -> int:
+        return 24 // self.tres
+
+    @property
+    def n_cond_channels(self) -> int:
+        return Conditioning.N_CHANNELS[self.conditioning]
+
+    def params_string(self) -> str:
+        """Reference filename codec (gan_train_cwgangp_pixelnorm.py:113)."""
+        tp = self.tp_thresh_daily
+        tp_str = str(int(tp)) if float(tp).is_integer() else str(tp)
+        return (
+            f"{self.startdate}-{self.enddate}-tp_thresh_daily{tp_str}"
+            f"_n_thresh{self.n_thresh}_ndomain{self.ndomain}_stride{self.stride}"
+        )
+
+    def data_filename(self) -> str:
+        """Reformatted-tensor filename (reformat_data.py:91)."""
+        return f"{self.startdate}-{self.enddate}_tres{self.tres}.npy"
+
+    def indices_filename(self) -> str:
+        """Valid-index pickle filename (compute_valid_indices.py:99)."""
+        return f"valid_indices_smhi_radar_{self.params_string()}.pkl"
+
+    def doy_filename(self) -> str:
+        """Day-of-year sidecar filename (reformat_data_make_timelist.py:62)."""
+        return f"{self.startdate}-{self.enddate}_tres{self.tres}_doy.npy"
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Generator / critic architecture.
+
+    Defaults replicate the reference networks
+    (generator: gan_train_cwgangp_pixelnorm.py:312-357,
+    critic: gan_train_cwgangp_pixelnorm.py:272-309).  The generator's initial
+    latent grid scales with ndomain//8 which subsumes the large-domain variant
+    (alternative_domains/gan_train_cwgangp_pixelnorm_largedomain.py:323-335).
+    """
+
+    ndomain: int = 16
+    nhours: int = 24
+    latent_dim: int = 100
+    n_cond_channels: int = 1
+    gen_channels: Tuple[int, ...] = (256, 128, 64)
+    base_channels: int = 256        # channels of the initial latent grid
+    critic_channels: Tuple[int, ...] = (64, 128, 256, 256)
+    leak: float = 0.2
+    dropout_rate: float = 0.25
+    init_stddev: float = 0.02
+    # Numerical policy: parameters and the conservation softmax stay float32;
+    # conv/matmul inputs may run in bfloat16 on the MXU when enabled.
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.ndomain % 8 != 0:
+            raise ValueError("ndomain must be a multiple of 8 "
+                             "(generator upsamples 3x by factor 2)")
+        if self.nhours % 8 != 0:
+            raise ValueError("nhours must be a multiple of 8")
+
+    @property
+    def latent_grid(self) -> Tuple[int, int, int]:
+        """Shape of the generator's initial (hours, y, x) latent grid."""
+        return (self.nhours // 8, self.ndomain // 8, self.ndomain // 8)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """cWGAN-GP optimization settings.
+
+    Defaults replicate the reference (Adam(1e-4, 0, 0.9) per WGAN-GP paper,
+    n_disc=5, GP weight 10, schedule ((50, 32),);
+    gan_train_cwgangp_pixelnorm.py:67-74,384-392).
+    """
+
+    n_disc: int = 5
+    gp_weight: float = 10.0
+    learning_rate: float = 1e-4
+    beta1: float = 0.0
+    beta2: float = 0.9
+    # ((n_epochs, batch_size), ...) increasing-batch-size schedule
+    schedule: Tuple[Tuple[int, int], ...] = ((50, 32),)
+    seed: int = 0
+    checkpoint_every_epochs: int = 1
+    log_every_steps: int = 50
+    # data-parallel mesh size; None = use all local devices
+    n_data_devices: Optional[int] = None
+
+    @property
+    def total_epochs(self) -> int:
+        return sum(n for n, _ in self.schedule)
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation-suite settings (generate_and_evaluate.py:30-57,
+    generate_and_evaluate_crps.py:161-162)."""
+
+    seed: int = 354
+    epoch: int = 20
+    eval_startdate: str = "20170101"
+    eval_enddate: str = "20181231"
+    n_map_conditions: int = 20
+    n_fake_per_real: int = 10
+    n_stat_samples: int = 10_000
+    n_line_free_noise: int = 100
+    n_line_shared_noise: int = 10
+    n_ks_members: int = 1000
+    n_ks_conditions: int = 20
+    n_crps_samples: int = 10_000
+    n_crps_members: int = 1000
+    n_lsd_samples: int = 1000
+    plot_format: str = "png"
+
+
+@dataclasses.dataclass(frozen=True)
+class RainFarmConfig:
+    """RainFARM baseline settings (rainfarm/rainfarm_calibrate.py:18,67-69)."""
+
+    seed: int = 334
+    n_calib: int = 5000
+    n_repeat: int = 10
+    ds_t_factor: int = 24
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    """Bundle of all stage configs for one experiment."""
+
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    rainfarm: RainFarmConfig = dataclasses.field(default_factory=RainFarmConfig)
+    name: str = "wgancp_pixelnorm"
+
+    def model(self) -> ModelConfig:
+        return ModelConfig(
+            ndomain=self.data.ndomain,
+            nhours=self.data.nhours,
+            n_cond_channels=self.data.n_cond_channels,
+        )
+
+
+def large_domain_experiment() -> ExperimentConfig:
+    """The 64x64 large-domain variant
+    (alternative_domains/gan_train_cwgangp_pixelnorm_largedomain.py:59,65)."""
+    return ExperimentConfig(
+        data=DataConfig(ndomain=64, n_thresh=40),
+        name="wgancp_pixelnorm_largedomain",
+    )
+
+
+def doy_experiment() -> ExperimentConfig:
+    """Day-of-year conditioning variant (revision1/additional_inputs)."""
+    return ExperimentConfig(
+        data=DataConfig(conditioning=Conditioning.DOY),
+        name="wgancp_pixelnorm_doy",
+    )
+
+
+def lon_experiment() -> ExperimentConfig:
+    """Longitude conditioning variant (revision1/additional_inputs)."""
+    return ExperimentConfig(
+        data=DataConfig(conditioning=Conditioning.LON),
+        name="wgancp_pixelnorm_lon",
+    )

@@ -1,0 +1,142 @@
+"""On-device patch sampler: the TPU-native replacement for the reference's
+host-side `view_as_windows` gather + GeneratorEnqueuer multiprocessing queue
+(gan_train_cwgangp_pixelnorm.py:143-212,440-449).
+
+The radar tensor lives in HBM once; every train step draws random index
+triples with `jax.random`, gathers (nhours, nd, nd) windows with a vmapped
+`dynamic_slice`, and applies the fraction/condition transform — all inside the
+jitted step, zero host involvement.
+
+Conditioning variants (SURVEY.md C20):
+  base: cond = normalized daily sum (1 channel)
+  doy:  + sin/cos(2*pi*doy/365) channels from a per-day sidecar array
+  lon:  + normalized patch x-index channel
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prdisagg_tpu.core.config import Conditioning, DataConfig
+from prdisagg_tpu.ops import fractions_and_condition
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceDataset:
+    """HBM-resident dataset: radar tensor + valid patch indices.
+
+    All fields are jax arrays so the whole object threads through jit/pjit as
+    a pytree; static config lives in aux data.
+    """
+
+    data: jax.Array            # (days, nhours, ny, nx) float32
+    indices: jax.Array         # (S, 3) int32 rows (tidx, yidx, xidx)
+    doy: Optional[jax.Array]   # (days,) float32 day-of-year sidecar, or None
+    cfg: DataConfig
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        return (self.data, self.indices, self.doy), self.cfg
+
+    @classmethod
+    def tree_unflatten(cls, cfg, children):
+        data, indices, doy = children
+        return cls(data=data, indices=indices, doy=doy, cfg=cfg)
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_numpy(
+        cls,
+        data: np.ndarray,
+        indices: np.ndarray,
+        cfg: DataConfig,
+        doy: Optional[np.ndarray] = None,
+    ) -> "DeviceDataset":
+        if cfg.conditioning == Conditioning.DOY and doy is None:
+            raise ValueError("doy conditioning requires the day-of-year sidecar")
+        return cls(
+            data=jnp.asarray(data, dtype=jnp.float32),
+            indices=jnp.asarray(indices, dtype=jnp.int32),
+            doy=None if doy is None else jnp.asarray(doy, dtype=jnp.float32),
+            cfg=cfg,
+        )
+
+    @property
+    def n_samples(self) -> int:
+        return self.indices.shape[0]
+
+    # -- sampling ------------------------------------------------------------
+    def _gather_patches(self, idx: jax.Array) -> jax.Array:
+        """idx: (B, 3) int32 -> (B, nhours, nd, nd, 1) hourly mm patches."""
+        nd = self.cfg.ndomain
+        nh = self.cfg.nhours
+
+        def one(t, y, x):
+            return jax.lax.dynamic_slice(
+                self.data, (t, 0, y, x), (1, nh, nd, nd)
+            )[0]
+
+        patches = jax.vmap(one)(idx[:, 0], idx[:, 1], idx[:, 2])
+        return patches[..., None]
+
+    def _extra_cond_channels(self, idx: jax.Array) -> list[jax.Array]:
+        """Broadcast per-patch scalars into (B, nd, nd, 1) condition maps."""
+        cfg = self.cfg
+        nd = cfg.ndomain
+        b = idx.shape[0]
+        extras = []
+        if cfg.conditioning == Conditioning.DOY:
+            doy = self.doy[idx[:, 0]]  # (B,)
+            angle = 2.0 * jnp.pi * doy / 365.0
+            for ch in (jnp.sin(angle), jnp.cos(angle)):
+                extras.append(jnp.broadcast_to(ch[:, None, None, None], (b, nd, nd, 1)))
+        elif cfg.conditioning == Conditioning.LON:
+            # normalized x-index, matching the reference's
+            # (x - min_lonidx) / max_lonidx normalization
+            # (gan_train_cwgangp_pixelnorm_lon.py:126-129,175-178)
+            xs = self.indices[:, 2]
+            min_lon = jnp.min(xs).astype(jnp.float32)
+            max_lon = jnp.max(xs).astype(jnp.float32)
+            lon = (idx[:, 2].astype(jnp.float32) - min_lon) / jnp.maximum(max_lon, 1.0)
+            extras.append(jnp.broadcast_to(lon[:, None, None, None], (b, nd, nd, 1)))
+        return extras
+
+    def sample_real(self, key: jax.Array, n_batch: int):
+        """Random (fractions, condition) batch — reference
+        `generate_real_samples` semantics (gan_train_cwgangp_pixelnorm.py:143-174).
+
+        Returns (frac (B, nh, nd, nd, 1), cond (B, nd, nd, n_cond_channels)).
+        """
+        ix = jax.random.randint(key, (n_batch,), 0, self.n_samples)
+        idx = self.indices[ix]
+        patches = self._gather_patches(idx)
+        frac, cond = fractions_and_condition(
+            patches, self.cfg.norm_scale, self.cfg.frac_eps
+        )
+        cond = jnp.concatenate([cond, *self._extra_cond_channels(idx)], axis=-1) \
+            if self.cfg.conditioning != Conditioning.BASE else cond
+        return frac, cond
+
+    def sample_cond(self, key: jax.Array, n_batch: int) -> jax.Array:
+        """Random conditions only — reference `generate_latent_points`'s
+        condition half (gan_train_cwgangp_pixelnorm.py:177-193)."""
+        _, cond = self.sample_real(key, n_batch)
+        return cond
+
+    def sample_latent(self, key: jax.Array, n_batch: int, latent_dim: int):
+        """(latent, cond) pair for generator updates."""
+        k_lat, k_cond = jax.random.split(key)
+        latent = jax.random.normal(k_lat, (n_batch, latent_dim))
+        return latent, self.sample_cond(k_cond, n_batch)
+
+
+@partial(jax.jit, static_argnames=("n_batch",))
+def sample_real_jit(ds: DeviceDataset, key: jax.Array, n_batch: int):
+    return ds.sample_real(key, n_batch)

@@ -1,0 +1,72 @@
+"""Conditional generator: (latent, daily-sum condition) -> hourly fractions.
+
+Architecture parity with the reference generator
+(gan_train_cwgangp_pixelnorm.py:312-357): dense projection to a
+(nhours/8, nd/8, nd/8, 256) latent grid, three [nearest-upsample x2 ->
+Conv3D -> PixelNorm -> LeakyReLU] stages, a linear Conv3D head and a softmax
+over the hour axis that makes per-gridpoint fractions sum to exactly 1
+(conservation of the daily sum).  The latent-grid scaling subsumes the
+large-domain variant (alternative_domains/..._largedomain.py:323-335).
+
+TPU-first choices: NDHWC layout (channels-last feeds the MXU contraction
+directly), all control flow static, pixelnorm/softmax in f32 while convs may
+run bf16 via `ModelConfig.compute_dtype`.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from prdisagg_tpu.core.config import ModelConfig
+from prdisagg_tpu.ops import hour_softmax, leaky_relu, pixel_norm, upsample3d_nearest
+
+
+class Generator(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, latent: jax.Array, cond: jax.Array) -> jax.Array:
+        """latent: (B, latent_dim); cond: (B, nd, nd, n_cond_channels).
+
+        Returns fractions (B, nhours, nd, nd, 1), softmax over hours.
+        """
+        cfg = self.cfg
+        init = nn.initializers.normal(stddev=cfg.init_stddev)
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
+        gd, gh, gw = cfg.latent_grid
+
+        b = latent.shape[0]
+        x = jnp.concatenate([latent, cond.reshape(b, -1)], axis=-1)
+        x = nn.Dense(
+            cfg.base_channels * gd * gh * gw,
+            kernel_init=init,
+            dtype=compute_dtype,
+            name="latent_proj",
+        )(x)
+        x = leaky_relu(x, cfg.leak)
+        x = x.reshape(b, gd, gh, gw, cfg.base_channels)
+
+        for i, ch in enumerate(cfg.gen_channels):
+            x = upsample3d_nearest(x, 2)
+            x = nn.Conv(
+                ch,
+                kernel_size=(3, 3, 3),
+                padding="SAME",
+                kernel_init=init,
+                dtype=compute_dtype,
+                name=f"conv{i}",
+            )(x)
+            x = pixel_norm(x.astype(jnp.float32))
+            x = leaky_relu(x, cfg.leak).astype(compute_dtype)
+
+        x = nn.Conv(
+            1,
+            kernel_size=(3, 3, 3),
+            padding="SAME",
+            kernel_init=init,
+            dtype=compute_dtype,
+            name="head",
+        )(x)
+        return hour_softmax(x)

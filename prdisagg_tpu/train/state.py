@@ -1,0 +1,64 @@
+"""Training state: generator + critic params, both optimizer states, RNG.
+
+Unlike the reference — which holds no optimizer state on disk and cannot
+resume (SURVEY.md §5 checkpoint row) — the full state here is one pytree, so
+checkpoint/resume is exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+from prdisagg_tpu.models import Critic, Generator
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam(1e-4, beta1=0, beta2=0.9) per the WGAN-GP paper
+    (reference: gan_train_cwgangp_pixelnorm.py:384-385)."""
+    return optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jax.Array
+    gen_params: Any
+    critic_params: Any
+    gen_opt: Any
+    critic_opt: Any
+    key: jax.Array
+
+
+def create_train_state(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    seed: int | None = None,
+) -> tuple[GANTrainState, Generator, Critic]:
+    seed = train_cfg.seed if seed is None else seed
+    gen = Generator(model_cfg)
+    critic = Critic(model_cfg)
+
+    key = jax.random.PRNGKey(seed)
+    k_gen, k_critic, k_state = jax.random.split(key, 3)
+
+    latent = jnp.zeros((1, model_cfg.latent_dim))
+    cond = jnp.zeros((1, model_cfg.ndomain, model_cfg.ndomain, model_cfg.n_cond_channels))
+    sample = jnp.zeros((1, model_cfg.nhours, model_cfg.ndomain, model_cfg.ndomain, 1))
+
+    gen_params = gen.init(k_gen, latent, cond)
+    critic_params = critic.init(k_critic, sample, cond)
+
+    tx = make_optimizer(train_cfg)
+    state = GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_params,
+        critic_params=critic_params,
+        gen_opt=tx.init(gen_params),
+        critic_opt=tx.init(critic_params),
+        key=k_state,
+    )
+    return state, gen, critic

@@ -1,0 +1,180 @@
+"""Fused cWGAN-GP train step.
+
+The reference drives 5 critic `train_on_batch` calls plus 1 generator call per
+step from Python, crossing the host<->device boundary 6 times
+(gan_train_cwgangp_pixelnorm.py:463-482).  Here the whole inner loop — data
+sampling from HBM, n_disc critic updates via `lax.scan` (including the
+second-order gradient-penalty autodiff), and the generator update — is ONE
+jitted function.  XLA sees the full step, fuses everything, and under a data
+mesh partitions the batch with gradient all-reduce over ICI.
+
+Loss semantics (parity with gan_train_cwgangp_pixelnorm.py:360-408,452-454):
+  critic:    mean(-D(real)) + mean(D(fake)) + gp_weight * mean((||g||-1)^2)
+             with fake = G(z, cond_real), g = dD/d(interp),
+             interp = eps*real + (1-eps)*fake, eps ~ U(0,1) per sample
+  generator: mean(-D(G(z, cond), cond)) with freshly sampled cond
+  reported d_loss = mean(valid_loss, fake_loss) of the last critic update
+             (the quantity printed by the reference, :475)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+from prdisagg_tpu.data.sampler import DeviceDataset
+from prdisagg_tpu.models import Critic, Generator
+from prdisagg_tpu.train.state import GANTrainState, make_optimizer
+
+
+def _batch_sharder(mesh: Optional[Mesh], axis: str = "data") -> Callable:
+    """Returns a function constraining arrays to be batch-sharded on `mesh`.
+
+    With no mesh (single chip) it is the identity; under a mesh the
+    constraint makes the XLA partitioner shard every per-sample computation
+    (sampling, model fwd/bwd) along the data axis and insert the gradient
+    all-reduce automatically.
+    """
+    if mesh is None or mesh.size == 1:
+        return lambda x: x
+
+    def shard(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return shard
+
+
+def make_train_step(
+    gen: Generator,
+    critic: Critic,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    batch_size: int,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Build the fused jitted train step: (state, ds) -> (state, metrics).
+
+    metrics: dict with d_loss (reference-reported), d_loss_mean (over the
+    n_disc updates), g_loss, gp, d_grad_norm, g_grad_norm, nonfinite flag.
+    """
+    tx = make_optimizer(train_cfg)
+    shard = _batch_sharder(mesh)
+    n_disc = train_cfg.n_disc
+    gp_weight = train_cfg.gp_weight
+    latent_dim = model_cfg.latent_dim
+
+    def critic_loss_fn(critic_params, gen_params, ds: DeviceDataset, key):
+        k_real, k_lat, k_eps, k_d1, k_d2, k_d3 = jax.random.split(key, 6)
+
+        frac_real, cond = ds.sample_real(k_real, batch_size)
+        latent = jax.random.normal(k_lat, (batch_size, latent_dim))
+        frac_real, cond, latent = shard(frac_real), shard(cond), shard(latent)
+
+        fake = gen.apply(gen_params, latent, cond)
+        fake = jax.lax.stop_gradient(fake)
+
+        d_real = critic.apply(
+            critic_params, frac_real, cond, deterministic=False,
+            rngs={"dropout": k_d1},
+        )
+        d_fake = critic.apply(
+            critic_params, fake, cond, deterministic=False,
+            rngs={"dropout": k_d2},
+        )
+
+        eps = jax.random.uniform(k_eps, (batch_size, 1, 1, 1, 1))
+        eps = shard(eps)
+        interp = eps * frac_real + (1.0 - eps) * fake
+
+        def critic_sum(x):
+            scores = critic.apply(
+                critic_params, x, cond, deterministic=False,
+                rngs={"dropout": k_d3},
+            )
+            return jnp.sum(scores)
+
+        grad_interp = jax.grad(critic_sum)(interp)
+        grad_norm = jnp.sqrt(
+            jnp.sum(jnp.square(grad_interp.reshape(batch_size, -1)), axis=1) + 1e-12
+        )
+        gp = jnp.mean(jnp.square(grad_norm - 1.0))
+
+        loss_valid = jnp.mean(-d_real)   # wasserstein_loss(y=-1, D(real))
+        loss_fake = jnp.mean(d_fake)     # wasserstein_loss(y=+1, D(fake))
+        loss = loss_valid + loss_fake + gp_weight * gp
+        aux = {
+            "d_loss": 0.5 * (loss_valid + loss_fake),
+            "gp": gp,
+            "w_distance": -(loss_valid + loss_fake),
+        }
+        return loss, aux
+
+    def gen_loss_fn(gen_params, critic_params, ds: DeviceDataset, key):
+        k_sample, k_d = jax.random.split(key)
+        latent, cond = ds.sample_latent(k_sample, batch_size, latent_dim)
+        latent, cond = shard(latent), shard(cond)
+        fake = gen.apply(gen_params, latent, cond)
+        d_fake = critic.apply(
+            critic_params, fake, cond, deterministic=False, rngs={"dropout": k_d}
+        )
+        return jnp.mean(-d_fake)  # wasserstein_loss(y=-1, D(fake))
+
+    def train_step(state: GANTrainState, ds: DeviceDataset):
+        key, key_gen, *keys_disc = jax.random.split(state.key, n_disc + 2)
+        keys_disc = jnp.stack(keys_disc)
+
+        def critic_update(carry, k):
+            critic_params, critic_opt = carry
+            (_, aux), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(
+                critic_params, state.gen_params, ds, k
+            )
+            updates, critic_opt = tx.update(grads, critic_opt, critic_params)
+            critic_params = optax.apply_updates(critic_params, updates)
+            aux["d_grad_norm"] = optax.global_norm(grads)
+            return (critic_params, critic_opt), aux
+
+        (critic_params, critic_opt), d_aux = jax.lax.scan(
+            critic_update, (state.critic_params, state.critic_opt), keys_disc
+        )
+
+        g_loss, g_grads = jax.value_and_grad(gen_loss_fn)(
+            state.gen_params, critic_params, ds, key_gen
+        )
+        g_updates, gen_opt = tx.update(g_grads, state.gen_opt, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        metrics = {
+            "d_loss": d_aux["d_loss"][-1],
+            "d_loss_mean": jnp.mean(d_aux["d_loss"]),
+            "gp": d_aux["gp"][-1],
+            "w_distance": d_aux["w_distance"][-1],
+            "d_grad_norm": d_aux["d_grad_norm"][-1],
+            "g_loss": g_loss,
+            "g_grad_norm": optax.global_norm(g_grads),
+        }
+        # NaN-guard flag, jit-compatible analogue of the reference's abort
+        # (gan_train_cwgangp_pixelnorm.py:487-488)
+        finite = jnp.all(
+            jnp.stack([jnp.isfinite(v) for v in metrics.values()])
+        )
+        metrics["nonfinite"] = ~finite
+
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params,
+            critic_params=critic_params,
+            gen_opt=gen_opt,
+            critic_opt=critic_opt,
+            key=key,
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
