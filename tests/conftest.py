@@ -6,7 +6,6 @@ they live at conftest import time (mirrors SURVEY.md §4 test plan item (c)).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,9 +13,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # single-core CI box: don't let XLA oversubscribe threads
 os.environ.setdefault("XLA_CPU_MULTI_THREAD_EIGEN", "false")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+# this image pre-imports jax via sitecustomize with a TPU platform latched in
+# jax.config; force CPU here (XLA_FLAGS above still applies — no backend has
+# been initialized yet at conftest time)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,74 @@
+"""Data-parallel training over the virtual 8-device CPU mesh (SURVEY §4c)."""
+
+import jax
+import numpy as np
+import pytest
+
+from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+from prdisagg_tpu.data.sampler import DeviceDataset
+from prdisagg_tpu.data.synthetic import make_synthetic_dataset
+from prdisagg_tpu.parallel import make_mesh, replicate
+from prdisagg_tpu.train import create_train_state, make_train_step
+
+
+def test_virtual_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_train_step_on_8_device_mesh():
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32, seed=2)
+    model_cfg = ModelConfig(
+        ndomain=16, latent_dim=8,
+        gen_channels=(8, 8, 8), base_channels=8, critic_channels=(8, 8, 8, 8),
+    )
+    train_cfg = TrainConfig(n_disc=2, seed=1)
+
+    mesh = make_mesh(8)
+    ds = replicate(DeviceDataset.from_numpy(data, indices, dcfg), mesh)
+    state, gen, critic = create_train_state(model_cfg, train_cfg)
+    state = replicate(state, mesh)
+
+    step = make_train_step(gen, critic, model_cfg, train_cfg,
+                           batch_size=16, mesh=mesh, donate=False)
+    new_state, metrics = step(state, ds)
+    assert not bool(metrics["nonfinite"])
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert int(new_state.step) == 1
+
+    # a second step must also run (state shardings round-trip)
+    s2, m2 = step(new_state, ds)
+    assert not bool(m2["nonfinite"])
+
+
+def test_dp_matches_single_device_semantics():
+    """The mesh only changes WHERE compute runs: with identical state and RNG,
+    the DP step must produce (numerically close) identical results to the
+    single-device step."""
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32, seed=3)
+    model_cfg = ModelConfig(
+        ndomain=16, latent_dim=8,
+        gen_channels=(8, 8, 8), base_channels=8, critic_channels=(8, 8, 8, 8),
+    )
+    train_cfg = TrainConfig(n_disc=1, seed=2)
+
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    state, gen, critic = create_train_state(model_cfg, train_cfg)
+
+    step_single = make_train_step(gen, critic, model_cfg, train_cfg,
+                                  batch_size=8, donate=False)
+    _, m_single = step_single(state, ds)
+
+    mesh = make_mesh(8)
+    ds_r = replicate(ds, mesh)
+    state_r = replicate(state, mesh)
+    step_dp = make_train_step(gen, critic, model_cfg, train_cfg,
+                              batch_size=8, mesh=mesh, donate=False)
+    _, m_dp = step_dp(state_r, ds_r)
+
+    np.testing.assert_allclose(
+        float(m_single["d_loss"]), float(m_dp["d_loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(m_single["g_loss"]), float(m_dp["g_loss"]), rtol=1e-4
+    )
