@@ -1,0 +1,136 @@
+"""Inference API on a trained generator — the reference's only importable
+surface, preserved exactly (raindisagg_gan_pretrained.py:52-90):
+
+  generate_scenarios(cond, n_scenarios) : (nd, nd, 1) daily sums in mm
+      -> (n_scenarios, 24, nd, nd) hourly mm scenarios whose per-gridpoint
+      time-sum equals the input daily sum (softmax conservation).
+  plot_scenarios(scenarios) : n x 24 map grid, LogNorm(0.01, 50), shared
+      colorbar.
+
+Semantics parity: condition divided by norm_scale=127.4 before the network,
+latents ~ N(0,1), fractions rescaled by cond * norm_scale back to mm/h.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prdisagg_tpu.core.config import ModelConfig
+from prdisagg_tpu.models import Generator
+from prdisagg_tpu.models.io import (
+    load_keras_generator_h5,
+    load_params_npz,
+    save_params_npz,
+)
+
+NORM_SCALE = 127.4
+
+
+class PretrainedGenerator:
+    """A trained generator + jitted predict, loadable from native .npz or the
+    reference's Keras .h5 checkpoints."""
+
+    def __init__(self, params, cfg: Optional[ModelConfig] = None,
+                 norm_scale: float = NORM_SCALE, seed: int = 0):
+        self.cfg = cfg or ModelConfig()
+        self.params = params
+        self.norm_scale = norm_scale
+        self._gen = Generator(self.cfg)
+        self._predict = jax.jit(lambda p, l, c: self._gen.apply(p, l, c))
+        self._key = jax.random.PRNGKey(seed)
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_npz(cls, path: str, cfg: Optional[ModelConfig] = None, **kw):
+        return cls(load_params_npz(path), cfg, **kw)
+
+    @classmethod
+    def from_keras_h5(cls, path: str, cfg: Optional[ModelConfig] = None, **kw):
+        cfg = cfg or ModelConfig()
+        return cls(load_keras_generator_h5(path, cfg), cfg, **kw)
+
+    def save_npz(self, path: str) -> None:
+        save_params_npz(path, self.params)
+
+    # -- inference ------------------------------------------------------------
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def predict_fractions(self, latent, cond_batch) -> jax.Array:
+        """Raw generator output: (B, nhours, nd, nd, 1) fractions."""
+        return self._predict(
+            self.params, jnp.asarray(latent), jnp.asarray(cond_batch)
+        )
+
+    def generate_scenarios(
+        self, cond: np.ndarray, n_scenarios: int,
+        latent: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Reference semantics (raindisagg_gan_pretrained.py:52-65).
+
+        cond: (nd, nd) or (nd, nd, 1) daily precipitation sums in mm.
+        Returns (n_scenarios, nhours, nd, nd) hourly precipitation in mm.
+        """
+        cond = np.asarray(cond, dtype=np.float32)
+        if cond.ndim == 2:
+            cond = cond[..., None]
+        cond_norm = cond / self.norm_scale
+        if latent is None:
+            latent = jax.random.normal(
+                self._next_key(), (n_scenarios, self.cfg.latent_dim)
+            )
+        cond_batch = jnp.broadcast_to(
+            jnp.asarray(cond_norm)[None], (n_scenarios, *cond_norm.shape)
+        )
+        fractions = np.asarray(self.predict_fractions(latent, cond_batch))
+        fractions = fractions.squeeze(-1)
+        # fractions -> mm/h: multiply by the (unnormalized) daily sum
+        return fractions * cond_norm.squeeze(-1)[None, None] * self.norm_scale
+
+    def plot_scenarios(self, scenarios: np.ndarray):
+        return plot_scenarios(scenarios)
+
+
+def generate_scenarios(gen: PretrainedGenerator, cond, n_scenarios: int):
+    """Free-function form of the reference API."""
+    return gen.generate_scenarios(cond, n_scenarios)
+
+
+def plot_scenarios(scenarios: np.ndarray):
+    """n x 24 map grid, parity with raindisagg_gan_pretrained.py:68-90."""
+    import matplotlib
+
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.colors import LogNorm
+
+    scenarios = np.asarray(scenarios)
+    nrows = len(scenarios)
+    fig = plt.figure(figsize=(24, nrows))
+    plt.axis("off")
+    im = None
+    for iplot in range(nrows):
+        for jplot in range(24):
+            ax = plt.subplot(nrows, 24, iplot * 24 + jplot + 1)
+            if iplot == 0:
+                ax.annotate(
+                    f"{jplot:02d}:00", xy=(0.5, 1), xytext=(0, 5),
+                    xycoords="axes fraction", textcoords="offset points",
+                    size="large", ha="center", va="baseline",
+                )
+            im = plt.imshow(
+                scenarios[iplot, jplot - 1, :, :],
+                cmap=plt.cm.gist_earth_r, norm=LogNorm(vmin=0.01, vmax=50),
+            )
+            plt.axis("off")
+    fig.subplots_adjust(right=0.93)
+    cbar_ax = fig.add_axes([0.93, 0.15, 0.007, 0.7])
+    cbar = fig.colorbar(im, cax=cbar_ax)
+    cbar.set_label("fraction of daily precipitation", fontsize=16)
+    cbar.ax.tick_params(labelsize=16)
+    return fig

@@ -1,0 +1,149 @@
+"""Weight import/export.
+
+* Native format: flat ``.npz`` of the Flax param pytree.
+* Reference-compat import: reads the Keras ``.h5`` files the reference saves
+  every epoch (``gen_{params}_{epoch:04d}.h5`` / ``disc_...h5``,
+  gan_train_cwgangp_pixelnorm.py:520-521) into Flax pytrees.  Keras Conv3D
+  kernels are (kd, kh, kw, in, out) and Dense kernels (in, out) — identical
+  to flax.linen layouts, so the mapping is purely structural:
+
+    generator: dense -> latent_proj, conv3d/_1/_2 -> conv0..2, conv3d_3 -> head
+    critic:    conv3d..conv3d_3 -> conv0..3, dense -> score
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+from prdisagg_tpu.core.config import ModelConfig
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params_npz(path: str, params) -> None:
+    np.savez(path, **_flatten(params))
+
+
+def load_params_npz(path: str):
+    import jax.numpy as jnp
+
+    with np.load(path) as f:
+        flat = {k: jnp.asarray(f[k]) for k in f.files}
+    return _unflatten(flat)
+
+
+# ---------------------------------------------------------------------------
+# Keras .h5 import
+# ---------------------------------------------------------------------------
+
+_LAYER_RE = re.compile(r"^(dense|conv3d)(?:_(\d+))?$")
+
+
+def _collect_keras_layers(path: str) -> Dict[str, Dict[str, np.ndarray]]:
+    """Walk an .h5 file collecting {layer_name: {kernel, bias}} for every
+    dense/conv3d layer, regardless of group nesting."""
+    import h5py
+
+    layers: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def visit(name, obj):
+        if not isinstance(obj, h5py.Dataset):
+            return
+        parts = name.split("/")
+        leaf = parts[-1].split(":")[0]
+        if leaf not in ("kernel", "bias"):
+            return
+        layer = next(
+            (p for p in reversed(parts[:-1]) if _LAYER_RE.match(p)), None
+        )
+        if layer is None:
+            return
+        layers.setdefault(layer, {})[leaf] = np.asarray(obj)
+
+    with h5py.File(path, "r") as f:
+        f.visititems(visit)
+    return layers
+
+
+def _sorted_by_kind(layers: Dict[str, Dict[str, np.ndarray]], kind: str):
+    """Keras auto-names layers kind, kind_1, kind_2, ... in creation order."""
+    found: list[Tuple[int, str]] = []
+    for name in layers:
+        m = _LAYER_RE.match(name)
+        if m and m.group(1) == kind:
+            found.append((int(m.group(2) or 0), name))
+    return [layers[name] for _, name in sorted(found)]
+
+
+def _as_param(w):
+    import jax.numpy as jnp
+
+    return {"kernel": jnp.asarray(w["kernel"]), "bias": jnp.asarray(w["bias"])}
+
+
+def load_keras_generator_h5(path: str, cfg: ModelConfig):
+    """Reference generator .h5 -> Flax Generator params pytree."""
+    layers = _collect_keras_layers(path)
+    dense = _sorted_by_kind(layers, "dense")
+    convs = _sorted_by_kind(layers, "conv3d")
+    if len(dense) != 1 or len(convs) != len(cfg.gen_channels) + 1:
+        raise ValueError(
+            f"unexpected generator layout in {path}: "
+            f"{len(dense)} dense, {len(convs)} conv3d layers"
+        )
+    params = {"latent_proj": _as_param(dense[0])}
+    for i in range(len(cfg.gen_channels)):
+        params[f"conv{i}"] = _as_param(convs[i])
+    params["head"] = _as_param(convs[-1])
+    _check_generator_shapes(params, cfg, path)
+    return {"params": params}
+
+
+def load_keras_critic_h5(path: str, cfg: ModelConfig):
+    """Reference critic .h5 -> Flax Critic params pytree."""
+    layers = _collect_keras_layers(path)
+    dense = _sorted_by_kind(layers, "dense")
+    convs = _sorted_by_kind(layers, "conv3d")
+    if len(dense) != 1 or len(convs) != len(cfg.critic_channels):
+        raise ValueError(
+            f"unexpected critic layout in {path}: "
+            f"{len(dense)} dense, {len(convs)} conv3d layers"
+        )
+    params = {f"conv{i}": _as_param(convs[i]) for i in range(len(convs))}
+    params["score"] = _as_param(dense[0])
+    return {"params": params}
+
+
+def _check_generator_shapes(params, cfg: ModelConfig, path: str) -> None:
+    gd, gh, gw = cfg.latent_grid
+    want_in = cfg.latent_dim + cfg.ndomain * cfg.ndomain * cfg.n_cond_channels
+    want_out = cfg.base_channels * gd * gh * gw
+    got = params["latent_proj"]["kernel"].shape
+    if got != (want_in, want_out):
+        raise ValueError(
+            f"{path}: dense kernel {got} does not match config "
+            f"({want_in}, {want_out}) — wrong ndomain/conditioning?"
+        )

@@ -1,0 +1,140 @@
+"""Statistical metrics: ECDF, ensemble CRPS, radial power spectra, LSD.
+
+TPU-native replacements for the reference's metric stack:
+
+* `crps_ensemble` replaces `properscoring.crps_ensemble`
+  (generate_and_evaluate_crps.py:189) with an O(M log M) sort-based estimator,
+  vmappable over fields — the reference's 10,000 x 1,000-member protocol is a
+  single batched device computation instead of a Python loop.
+* `radial_spectrum` / `log_spectral_distance` replace the numba kernels
+  (log_spectral_distance.py:19-76); the azimuthal binning is precomputed per
+  field shape so per-field spectra are segment-sums and all-pairs distances
+  are one broadcasted matrix op.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def ecdf(data: np.ndarray):
+    """Empirical CDF, reference semantics (generate_and_evaluate.py:431-435)."""
+    x = np.sort(np.asarray(data).ravel())
+    y = np.arange(1, x.size + 1) / x.size
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# CRPS
+# ---------------------------------------------------------------------------
+
+def crps_ensemble(observation: jax.Array, forecasts: jax.Array) -> jax.Array:
+    """CRPS of an M-member ensemble against scalar observations.
+
+    forecasts: (M, ...) ensemble along axis 0; observation: (...).
+    Returns CRPS with the empirical (fair=False) estimator used by
+    properscoring:  E|X - y| - 0.5 * E|X - X'|  with 1/M^2 weighting,
+    computed via the sort identity
+      sum_{i,j} |x_i - x_j| = 2 * sum_k (2k - M + 1) * x_(k).
+    """
+    m = forecasts.shape[0]
+    term1 = jnp.mean(jnp.abs(forecasts - observation[None]), axis=0)
+    xs = jnp.sort(forecasts, axis=0)
+    k = jnp.arange(m, dtype=forecasts.dtype)
+    w = (2.0 * k - m + 1.0)
+    spread = jnp.tensordot(w, xs, axes=(0, 0)) / (m * m)
+    return term1 - spread
+
+
+# ---------------------------------------------------------------------------
+# Radial power spectrum + log-spectral distance
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=8)
+def _radial_bins(ny: int, nx: int):
+    """Reproduces the reference azimuthal binning exactly
+    (log_spectral_distance.py:19-56): integer-truncated radii around the
+    center ((nx-1)/2, (nx-1)/2), group means via cumulative sums over the
+    radius-sorted pixels, first group dropped.
+
+    Returns (sort_order flat indices, group segment ids (n_groups,), counts).
+    """
+    y, x = np.indices((ny, nx))
+    center = np.array([(x.max() - x.min()) / 2.0, (x.max() - x.min()) / 2.0])
+    r = np.hypot(x - center[0], y - center[1])
+    ind = np.argsort(r.flat)
+    r_int = r.flat[ind].astype(int)
+
+    deltar = r_int[1:] - r_int[:-1]
+    rind = np.where(deltar)[0]              # last index of each radius group
+    nr = rind[1:] - rind[:-1]               # sizes of groups 1..G-1
+
+    # pixels contributing to output bin b are sorted positions rind[b]+1..rind[b+1]
+    seg = np.full(ny * nx, -1, dtype=np.int64)
+    for b in range(len(rind) - 1):
+        seg[rind[b] + 1 : rind[b + 1] + 1] = b
+    return ind.astype(np.int64), seg, nr.astype(np.float64)
+
+
+def radial_spectrum(field: jax.Array) -> jax.Array:
+    """Radially averaged 2-D power spectrum of one (ny, nx) field —
+    parity with compute_radial_spectrum (log_spectral_distance.py:59-65)."""
+    ny, nx = field.shape
+    ind, seg, nr = _radial_bins(ny, nx)
+    n_bins = len(nr)
+
+    f = jnp.fft.fftshift(jnp.fft.fft2(field))
+    psd = jnp.abs(f) ** 2
+    psd_sorted = psd.reshape(-1)[jnp.asarray(ind)]
+    seg_j = jnp.asarray(seg)
+    valid = seg_j >= 0
+    sums = jax.ops.segment_sum(
+        jnp.where(valid, psd_sorted, 0.0),
+        jnp.where(valid, seg_j, 0),
+        num_segments=n_bins,
+    )
+    return sums / jnp.asarray(nr)
+
+
+radial_spectra = jax.jit(jax.vmap(radial_spectrum))
+
+
+def log_spectral_distance(ps1: jax.Array, ps2: jax.Array) -> jax.Array:
+    """LSD between two power spectra (log_spectral_distance.py:68-76):
+    sqrt(sum((10*log10(ps1/ps2))^2)) / n."""
+    n = ps1.shape[-1]
+    d = 10.0 * jnp.log10(ps1 / ps2)
+    return jnp.sqrt(jnp.sum(d * d, axis=-1)) / n
+
+
+@jax.jit
+def pairwise_lsd(spectra_a: jax.Array, spectra_b: jax.Array) -> jax.Array:
+    """All-pairs LSD matrix (Na, Nb) — replaces the numba O(n^2) loop
+    (log_spectral_distance.py:104-115)."""
+    return jax.vmap(
+        lambda a: jax.vmap(lambda b: log_spectral_distance(a, b))(spectra_b)
+    )(spectra_a)
+
+
+def pairwise_lsd_offdiag(spectra_a: np.ndarray, spectra_b: np.ndarray,
+                         block: int = 256) -> np.ndarray:
+    """Flattened off-diagonal all-pairs LSD values, blocked to bound memory.
+
+    Mirrors the reference's removal of (i == i) diagonal entries
+    (log_spectral_distance.py:123-130).
+    """
+    a = np.asarray(spectra_a)
+    b = np.asarray(spectra_b)
+    na = len(a)
+    out = []
+    for i0 in range(0, na, block):
+        blk = np.asarray(pairwise_lsd(jnp.asarray(a[i0 : i0 + block]), jnp.asarray(b)))
+        for row, i in zip(blk, range(i0, min(i0 + block, na))):
+            if i < len(b):
+                row = np.delete(row, i)
+            out.append(row)
+    return np.concatenate(out)

@@ -1,0 +1,135 @@
+import os
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+from prdisagg_tpu.api import PretrainedGenerator
+from prdisagg_tpu.models.io import (
+    load_keras_critic_h5,
+    load_keras_generator_h5,
+    load_params_npz,
+    save_params_npz,
+)
+from prdisagg_tpu.train import create_train_state
+
+TINY = ModelConfig(
+    ndomain=16, latent_dim=8,
+    gen_channels=(8, 8, 8), base_channels=8, critic_channels=(8, 8, 8, 8),
+)
+
+
+def test_npz_roundtrip(tmp_path):
+    state, gen, _ = create_train_state(TINY, TrainConfig())
+    p = str(tmp_path / "gen.npz")
+    save_params_npz(p, state.gen_params)
+    loaded = load_params_npz(p)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.gen_params),
+        jax.tree_util.tree_leaves(loaded),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _write_fake_keras_h5(path, layer_weights):
+    """Emulate the Keras .h5 weight layout: nested groups with kernel:0/bias:0
+    datasets under layer-name groups inside model_weights/sequential."""
+    with h5py.File(path, "w") as f:
+        g = f.create_group("model_weights").create_group("sequential")
+        for name, (k, b) in layer_weights.items():
+            lg = g.create_group(name).create_group(name)
+            lg.create_dataset("kernel:0", data=k)
+            lg.create_dataset("bias:0", data=b)
+
+
+def test_keras_h5_generator_import(tmp_path):
+    cfg = ModelConfig()  # full reference architecture
+    rng = np.random.RandomState(0)
+    gd, gh, gw = cfg.latent_grid
+    n_in = cfg.latent_dim + 16 * 16
+    n_out = 256 * gd * gh * gw
+    layers = {
+        "dense": (rng.randn(n_in, n_out).astype("f4"), rng.randn(n_out).astype("f4")),
+        "conv3d": (rng.randn(3, 3, 3, 256, 256).astype("f4"), rng.randn(256).astype("f4")),
+        "conv3d_1": (rng.randn(3, 3, 3, 256, 128).astype("f4"), rng.randn(128).astype("f4")),
+        "conv3d_2": (rng.randn(3, 3, 3, 128, 64).astype("f4"), rng.randn(64).astype("f4")),
+        "conv3d_3": (rng.randn(3, 3, 3, 64, 1).astype("f4"), rng.randn(1).astype("f4")),
+    }
+    p = str(tmp_path / "gen.h5")
+    _write_fake_keras_h5(p, layers)
+
+    params = load_keras_generator_h5(p, cfg)["params"]
+    np.testing.assert_array_equal(
+        np.asarray(params["latent_proj"]["kernel"]), layers["dense"][0]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["conv1"]["kernel"]), layers["conv3d_1"][0]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["head"]["bias"]), layers["conv3d_3"][1]
+    )
+
+    # imported params must drive the Flax generator
+    pg = PretrainedGenerator({"params": params}, cfg)
+    out = pg.generate_scenarios(10 * np.ones((16, 16, 1)), 2)
+    assert out.shape == (2, 24, 16, 16)
+
+
+def test_keras_h5_critic_import(tmp_path):
+    cfg = ModelConfig()
+    rng = np.random.RandomState(1)
+    layers = {
+        "conv3d": (rng.randn(3, 3, 3, 2, 64).astype("f4"), rng.randn(64).astype("f4")),
+        "conv3d_1": (rng.randn(3, 3, 3, 64, 128).astype("f4"), rng.randn(128).astype("f4")),
+        "conv3d_2": (rng.randn(3, 3, 3, 128, 256).astype("f4"), rng.randn(256).astype("f4")),
+        "conv3d_3": (rng.randn(3, 3, 3, 256, 256).astype("f4"), rng.randn(256).astype("f4")),
+        "dense": (rng.randn(2 * 1 * 1 * 256, 1).astype("f4"), rng.randn(1).astype("f4")),
+    }
+    p = str(tmp_path / "disc.h5")
+    _write_fake_keras_h5(p, layers)
+    params = load_keras_critic_h5(p, cfg)["params"]
+    assert np.asarray(params["conv3"]["kernel"]).shape == (3, 3, 3, 256, 256)
+    assert np.asarray(params["score"]["kernel"]).shape == (512, 1)
+
+
+def test_generate_scenarios_semantics():
+    state, gen, _ = create_train_state(TINY, TrainConfig())
+    pg = PretrainedGenerator(state.gen_params, TINY)
+
+    cond = 10.0 * np.ones((16, 16, 1), dtype=np.float32)
+    scen = pg.generate_scenarios(cond, 5)
+    assert scen.shape == (5, 24, 16, 16)
+    assert not np.any(np.isnan(scen))
+    assert scen.min() >= 0
+    # conservation: hourly sums reproduce the daily condition exactly
+    np.testing.assert_allclose(scen.sum(axis=1), 10.0, rtol=1e-4)
+
+    # 2-D cond (no channel dim) also accepted
+    scen2 = pg.generate_scenarios(cond[..., 0], 3)
+    assert scen2.shape == (3, 24, 16, 16)
+
+    # different calls use different latents
+    assert not np.allclose(scen[0], scen[1])
+
+
+def test_generate_scenarios_nonuniform_cond_conserves():
+    state, _, _ = create_train_state(TINY, TrainConfig())
+    pg = PretrainedGenerator(state.gen_params, TINY)
+    rng = np.random.RandomState(3)
+    cond = rng.gamma(2.0, 5.0, size=(16, 16, 1)).astype(np.float32)
+    scen = pg.generate_scenarios(cond, 4)
+    np.testing.assert_allclose(
+        scen.sum(axis=1),
+        np.broadcast_to(cond[None, ..., 0], (4, 16, 16)),
+        rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_plot_scenarios_figure():
+    state, _, _ = create_train_state(TINY, TrainConfig())
+    pg = PretrainedGenerator(state.gen_params, TINY)
+    scen = pg.generate_scenarios(5.0 * np.ones((16, 16, 1)), 2)
+    fig = pg.plot_scenarios(scen)
+    assert len(fig.axes) >= 2 * 24

@@ -1,0 +1,130 @@
+import jax.numpy as jnp
+import numpy as np
+from scipy import fftpack
+
+from prdisagg_tpu.ops.stats import (
+    crps_ensemble,
+    ecdf,
+    log_spectral_distance,
+    pairwise_lsd,
+    pairwise_lsd_offdiag,
+    radial_spectra,
+    radial_spectrum,
+)
+
+
+def _crps_bruteforce(obs, ens):
+    # direct double-loop estimator: E|X-y| - 0.5/M^2 sum_ij |x_i - x_j|
+    m = len(ens)
+    t1 = np.mean(np.abs(ens - obs))
+    t2 = 0.0
+    for i in range(m):
+        for j in range(m):
+            t2 += abs(ens[i] - ens[j])
+    return t1 - 0.5 * t2 / m**2
+
+
+def test_crps_matches_bruteforce_scalar():
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        ens = rng.gamma(2.0, 1.5, size=17)
+        obs = rng.gamma(2.0, 1.5)
+        got = float(crps_ensemble(jnp.asarray(obs), jnp.asarray(ens)))
+        want = _crps_bruteforce(obs, ens)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_crps_vectorized_over_fields():
+    rng = np.random.RandomState(1)
+    obs = rng.rand(24, 8, 8).astype(np.float32)
+    ens = rng.rand(50, 24, 8, 8).astype(np.float32)
+    got = np.asarray(crps_ensemble(jnp.asarray(obs), jnp.asarray(ens)))
+    assert got.shape == (24, 8, 8)
+    # spot-check a few cells against brute force
+    for idx in [(0, 0, 0), (12, 3, 4), (23, 7, 7)]:
+        want = _crps_bruteforce(obs[idx], ens[(slice(None), *idx)])
+        np.testing.assert_allclose(got[idx], want, rtol=1e-4)
+
+
+def test_crps_perfect_ensemble_better_than_bad():
+    rng = np.random.RandomState(2)
+    obs = np.float32(1.0)
+    good = rng.normal(1.0, 0.1, 1000).astype(np.float32)
+    bad = rng.normal(5.0, 0.1, 1000).astype(np.float32)
+    assert float(crps_ensemble(jnp.asarray(obs), jnp.asarray(good))) < float(
+        crps_ensemble(jnp.asarray(obs), jnp.asarray(bad))
+    )
+
+
+def _reference_azimuthal_average(image):
+    """Literal re-statement of the reference binning
+    (log_spectral_distance.py:19-56) as the test oracle."""
+    y, x = np.indices(image.shape)
+    center = np.array([(x.max() - x.min()) / 2.0, (x.max() - x.min()) / 2.0])
+    r = np.hypot(x - center[0], y - center[1])
+    ind = np.argsort(r.flat)
+    r_sorted = r.flat[ind]
+    i_sorted = image.flat[ind]
+    r_int = r_sorted.astype(int)
+    deltar = r_int[1:] - r_int[:-1]
+    rind = np.where(deltar)[0]
+    nr = rind[1:] - rind[:-1]
+    csim = np.cumsum(i_sorted, dtype=float)
+    tbin = csim[rind[1:]] - csim[rind[:-1]]
+    return tbin / nr
+
+
+def _reference_radial_spectrum(x):
+    f1 = fftpack.fft2(x)
+    f2 = fftpack.fftshift(f1)
+    psd2d = np.abs(f2) ** 2
+    return _reference_azimuthal_average(psd2d)
+
+
+def test_radial_spectrum_matches_reference():
+    rng = np.random.RandomState(3)
+    for shape in [(16, 16), (8, 8), (64, 64)]:
+        x = rng.rand(*shape).astype(np.float32)
+        got = np.asarray(radial_spectrum(jnp.asarray(x)))
+        want = _reference_radial_spectrum(x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_radial_spectra_vmapped():
+    rng = np.random.RandomState(4)
+    xs = rng.rand(10, 16, 16).astype(np.float32)
+    got = np.asarray(radial_spectra(jnp.asarray(xs)))
+    for i in range(10):
+        np.testing.assert_allclose(
+            got[i], _reference_radial_spectrum(xs[i]), rtol=1e-3
+        )
+
+
+def test_lsd_matches_reference_formula():
+    rng = np.random.RandomState(5)
+    ps1 = rng.rand(11).astype(np.float64) + 0.1
+    ps2 = rng.rand(11).astype(np.float64) + 0.1
+    got = float(log_spectral_distance(jnp.asarray(ps1), jnp.asarray(ps2)))
+    want = np.sqrt(np.sum((10 * np.log10(ps1 / ps2)) ** 2)) / len(ps1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # identical spectra -> zero
+    assert float(log_spectral_distance(jnp.asarray(ps1), jnp.asarray(ps1))) == 0.0
+
+
+def test_pairwise_lsd_and_offdiag():
+    rng = np.random.RandomState(6)
+    a = rng.rand(7, 11) + 0.1
+    b = rng.rand(7, 11) + 0.1
+    mat = np.asarray(pairwise_lsd(jnp.asarray(a), jnp.asarray(b)))
+    assert mat.shape == (7, 7)
+    flat = pairwise_lsd_offdiag(a, b, block=3)
+    assert flat.shape == (7 * 7 - 7,)
+    want = np.concatenate([np.delete(mat[i], i) for i in range(7)])
+    np.testing.assert_allclose(flat, want, rtol=1e-6)
+
+
+def test_ecdf():
+    x, y = ecdf(np.array([3.0, 1.0, 2.0]))
+    np.testing.assert_array_equal(x, [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(y, [1 / 3, 2 / 3, 1.0])
