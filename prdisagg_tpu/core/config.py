@@ -189,8 +189,12 @@ class ExperimentConfig:
     eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
     rainfarm: RainFarmConfig = dataclasses.field(default_factory=RainFarmConfig)
     name: str = "wgancp_pixelnorm"
+    # set to override the derived architecture (e.g. shrunken test models)
+    model_override: Optional[ModelConfig] = None
 
     def model(self) -> ModelConfig:
+        if self.model_override is not None:
+            return self.model_override
         return ModelConfig(
             ndomain=self.data.ndomain,
             nhours=self.data.nhours,

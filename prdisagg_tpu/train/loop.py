@@ -1,0 +1,191 @@
+"""Training driver: epoch loop, batch-size schedule, metrics, checkpoints.
+
+Orchestrates the fused train step the way the reference's `train()` does its
+host loop (gan_train_cwgangp_pixelnorm.py:431-529), with the TPU-native
+differences:
+
+* one jitted fused step per iteration instead of 6 `train_on_batch` calls,
+* metrics come back as a device dict; history -> hist.csv like the reference,
+* Orbax checkpoints of the FULL state (exact resume) every epoch, plus
+  reference-style per-epoch generator/critic .npz weight exports with the
+  params-string filenames,
+* the increasing-batch-size schedule recompiles the step per stage (the
+  schedule list is tiny, gan_train_cwgangp_pixelnorm.py:73-74,524-529).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from prdisagg_tpu.core.config import ExperimentConfig
+from prdisagg_tpu.data.sampler import DeviceDataset
+from prdisagg_tpu.models.io import save_params_npz
+from prdisagg_tpu.parallel import make_mesh, replicate
+from prdisagg_tpu.train.checkpoint import CheckpointManager
+from prdisagg_tpu.train.state import GANTrainState, create_train_state
+from prdisagg_tpu.train.wgan_gp import make_train_step
+
+
+class NaNLossError(RuntimeError):
+    """Raised when the fused step reports non-finite losses
+    (reference abort: gan_train_cwgangp_pixelnorm.py:487-488)."""
+
+
+class Trainer:
+    def __init__(
+        self,
+        exp: ExperimentConfig,
+        ds: DeviceDataset,
+        workdir: str = ".",
+        use_mesh: bool = True,
+        steps_per_epoch: Optional[int] = None,
+        plot_every_epochs: int = 1,
+        on_epoch_end: Optional[Callable] = None,
+    ):
+        self.exp = exp
+        self.model_cfg = exp.model()
+        self.workdir = workdir
+        self.params_str = exp.data.params_string()
+        self.plotdir = os.path.join(workdir, f"plots_{exp.name}")
+        self.outdir = os.path.join(workdir, "trained_models", exp.name)
+        os.makedirs(self.plotdir, exist_ok=True)
+        os.makedirs(self.outdir, exist_ok=True)
+        self.steps_per_epoch = steps_per_epoch
+        self.plot_every_epochs = plot_every_epochs
+        self.on_epoch_end = on_epoch_end
+
+        n_dev = exp.train.n_data_devices
+        if use_mesh and (n_dev is None or n_dev > 1) and len(jax.devices()) > 1:
+            self.mesh = make_mesh(n_dev)
+        else:
+            self.mesh = None
+
+        state, self.gen, self.critic = create_train_state(self.model_cfg, exp.train)
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+            ds = replicate(ds, self.mesh)
+        self.state: GANTrainState = state
+        self.ds = ds
+
+        self.ckpt = CheckpointManager(os.path.join(self.outdir, "ckpt"))
+        self.hist: dict[str, list] = {"d_loss": [], "g_loss": []}
+        self.epoch = 0
+
+    # ------------------------------------------------------------------
+    def maybe_resume(self) -> bool:
+        latest = self.ckpt.latest_epoch()
+        if latest is None:
+            return False
+        self.state = self.ckpt.restore(self.state, latest)
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+        self.epoch = latest
+        return True
+
+    # ------------------------------------------------------------------
+    def fit(self, progress: bool = True) -> dict:
+        """Run the full schedule; returns the metrics history."""
+        for n_epochs, batch_size in self.exp.train.schedule:
+            target = self.epoch + n_epochs
+            if self.epoch >= target:
+                continue
+            self._fit_stage(target, batch_size, progress)
+        return self.hist
+
+    def _fit_stage(self, until_epoch: int, batch_size: int, progress: bool):
+        step_fn = make_train_step(
+            self.gen, self.critic, self.model_cfg, self.exp.train,
+            batch_size=batch_size, mesh=self.mesh,
+        )
+        spe = self.steps_per_epoch
+        if spe is None:
+            spe = max(1, self.ds.n_samples // batch_size)
+
+        while self.epoch < until_epoch:
+            t0 = time.perf_counter()
+            for j in range(spe):
+                self.state, metrics = step_fn(self.state, self.ds)
+                if (j + 1) % self.exp.train.log_every_steps == 0 or j == spe - 1:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    if m["nonfinite"]:
+                        raise NaNLossError(
+                            f"non-finite loss at epoch {self.epoch + 1} step {j}: {m}"
+                        )
+                    self.hist["d_loss"].append(m["d_loss"])
+                    self.hist["g_loss"].append(m["g_loss"])
+                    if progress:
+                        print(
+                            f"epoch {self.epoch + 1} {j + 1}/{spe} "
+                            f"d_loss {m['d_loss']:.4f} g:{m['g_loss']:.4f} "
+                            f"gp:{m['gp']:.4f}",
+                            flush=True,
+                        )
+            self.epoch += 1
+            dt = time.perf_counter() - t0
+            if progress:
+                print(f"epoch {self.epoch} done in {dt:.1f}s "
+                      f"({spe / dt:.2f} fused steps/s)", flush=True)
+            self._end_of_epoch()
+
+    # ------------------------------------------------------------------
+    def _end_of_epoch(self):
+        e = self.epoch
+        if e % self.exp.train.checkpoint_every_epochs == 0:
+            self.ckpt.save(e, self.state)
+        # reference-style weight exports with params-string names
+        save_params_npz(
+            os.path.join(self.outdir, f"gen_{self.params_str}_{e:04d}.npz"),
+            jax.device_get(self.state.gen_params),
+        )
+        save_params_npz(
+            os.path.join(self.outdir, f"disc_{self.params_str}_{e:04d}.npz"),
+            jax.device_get(self.state.critic_params),
+        )
+        self._write_hist()
+        if self.plot_every_epochs and e % self.plot_every_epochs == 0:
+            self._plot_epoch(e)
+        if self.on_epoch_end is not None:
+            self.on_epoch_end(self)
+
+    def _write_hist(self):
+        import pandas as pd
+
+        pd.DataFrame(self.hist).to_csv(os.path.join(self.workdir, "hist.csv"))
+
+    def _plot_epoch(self, epoch: int, n_plot: int = 30):
+        from prdisagg_tpu.utils import plotting
+
+        key = jax.random.PRNGKey(1000 + epoch)
+        k_lat, k_cond = jax.random.split(key)
+        latent = jax.random.normal(k_lat, (n_plot, self.model_cfg.latent_dim))
+        cond = self.ds.sample_cond(k_cond, n_plot)
+        fake = self.gen.apply(self.state.gen_params, latent, cond)
+
+        fig = plotting.sample_grid(
+            np.asarray(fake), np.asarray(cond), title=f"epoch {epoch:04d}"
+        )
+        fig.savefig(
+            os.path.join(
+                self.plotdir,
+                f"fake_samples_{self.params_str}_{epoch:04d}.png",
+            )
+        )
+        fig = plotting.loss_curves(self.hist)
+        fig.savefig(
+            os.path.join(self.plotdir, f"training_loss_{self.params_str}.png")
+        )
+        plotting.close_all()
+
+    def plot_real_samples(self, n_plot: int = 30):
+        """Pre-training real-sample grid (reference :411-425)."""
+        from prdisagg_tpu.utils import plotting
+
+        frac, cond = self.ds.sample_real(jax.random.PRNGKey(7), n_plot)
+        fig = plotting.sample_grid(np.asarray(frac), np.asarray(cond))
+        fig.savefig(os.path.join(self.plotdir, "real_samples.png"))
+        plotting.close_all()

@@ -1,0 +1,102 @@
+"""Shared matplotlib plot builders (agg backend, artifact-name parity).
+
+Replicates the reference's diagnostic figures: per-epoch sample grids
+(gan_train_cwgangp_pixelnorm.py:411-425,494-508), loss curves (:511-516), and
+the evaluation map grids (generate_and_evaluate.py:204-387).
+"""
+
+from __future__ import annotations
+
+import matplotlib
+
+matplotlib.use("agg")
+
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+from matplotlib.colors import LogNorm  # noqa: E402
+
+COND_CMAP = "gist_earth_r"
+COND_NORM = dict(vmin=0.01, vmax=1)
+PRECIP_NORM = dict(vmin=0.01, vmax=50)
+
+
+def sample_grid(fractions: np.ndarray, cond: np.ndarray, title: str = ""):
+    """n_plot x 25 grid: col 0 = condition map, cols 1..24 = hourly fractions.
+
+    fractions: (n, 24, nd, nd[, 1]); cond: (n, nd, nd[, c]).
+    """
+    fractions = np.asarray(fractions)
+    cond = np.asarray(cond)
+    if fractions.ndim == 5:
+        fractions = fractions[..., 0]
+    if cond.ndim == 4:
+        cond = cond[..., 0]
+    n_plot = len(fractions)
+    fig = plt.figure(figsize=(25, max(n_plot, 2)))
+    for i in range(n_plot):
+        ax = plt.subplot(n_plot, 25, i * 25 + 1)
+        ax.imshow(cond[i], cmap=COND_CMAP, norm=LogNorm(**COND_NORM))
+        ax.axis("off")
+        for j in range(1, 24):
+            ax = plt.subplot(n_plot, 25, i * 25 + j + 1)
+            ax.imshow(fractions[i, j], vmin=0, vmax=1, cmap="hot_r")
+            ax.axis("off")
+    if title:
+        fig.suptitle(title)
+    return fig
+
+
+def loss_curves(hist: dict, keys=("d_loss", "g_loss")):
+    fig = plt.figure()
+    for k in keys:
+        plt.plot(hist[k], label=k)
+    plt.xlabel("batch")
+    plt.legend()
+    return fig
+
+
+def map_comparison_grid(
+    real: np.ndarray,
+    generated: np.ndarray,
+    dsum: np.ndarray,
+    fractions: bool,
+    every: int = 1,
+):
+    """Eval map grid: row 0 = real hours, rows 1.. = generated realizations;
+    column 0 always the daily-sum condition.  `fractions` picks the 0..1
+    grayscale style, else mm LogNorm (generate_and_evaluate.py:230-303)."""
+    real = np.asarray(real)
+    generated = np.asarray(generated)
+    hours = list(range(every - 1, 24, every))
+    ncols = len(hours) + 1
+    nrows = len(generated) + 1
+    fig = plt.figure(figsize=(ncols, nrows))
+
+    def show(ax, img):
+        if fractions:
+            ax.imshow(img, vmin=0, vmax=1, cmap="Greys")
+        else:
+            ax.imshow(img, cmap=COND_CMAP, norm=LogNorm(**PRECIP_NORM))
+        ax.axis("off")
+
+    def cond_ax(row):
+        ax = plt.subplot(nrows, ncols, row * ncols + 1)
+        ax.imshow(dsum, cmap=COND_CMAP, norm=LogNorm(**PRECIP_NORM))
+        ax.axis("off")
+
+    cond_ax(0)
+    for c, h in enumerate(hours):
+        ax = plt.subplot(nrows, ncols, c + 2)
+        show(ax, real[h])
+        ax.set_title(f"{h + 1:02d}:00", fontsize=6)
+        ax.axis("off")
+    for r in range(len(generated)):
+        cond_ax(r + 1)
+        for c, h in enumerate(hours):
+            ax = plt.subplot(nrows, ncols, (r + 1) * ncols + c + 2)
+            show(ax, generated[r, h])
+    return fig
+
+
+def close_all():
+    plt.close("all")
