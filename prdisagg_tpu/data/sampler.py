@@ -108,6 +108,13 @@ class DeviceDataset:
             extras.append(jnp.broadcast_to(lon[:, None, None, None], (b, nd, nd, 1)))
         return extras
 
+    def sample_patches_raw(self, key: jax.Array, n_batch: int) -> jax.Array:
+        """Random raw hourly-mm patches (B, nh, nd, nd) — no fraction
+        transform; used by RainFARM calibration
+        (rainfarm/rainfarm_calibrate.py:76-83)."""
+        ix = jax.random.randint(key, (n_batch,), 0, self.n_samples)
+        return self._gather_patches(self.indices[ix])[..., 0]
+
     def sample_real(self, key: jax.Array, n_batch: int):
         """Random (fractions, condition) batch — reference
         `generate_real_samples` semantics (gan_train_cwgangp_pixelnorm.py:143-174).

@@ -1,0 +1,124 @@
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prdisagg_tpu.baselines.rainfarm.core import (
+    _downscale_from_phase,
+    downscale_ensemble,
+    downscale_spatiotemporal,
+    estimate_alpha,
+    estimate_beta,
+)
+from prdisagg_tpu.baselines.rainfarm.pipeline import calibrate, crps_rainfarm
+from prdisagg_tpu.core.config import RainFarmConfig
+
+
+def _numpy_reference_downscale(precip, alpha, beta, phase):
+    """Literal numpy re-statement of the reference algorithm
+    (rainfarm_temporal_downscaling.py:84-127) parameterized by the phase
+    field, used as the parity oracle."""
+    ki = np.fft.fftfreq(precip.shape[0])
+    kj = np.fft.fftfreq(precip.shape[1])
+    k_sqr = ki[:, None] ** 2 + kj[None, :] ** 2
+    n_t = phase.shape[0]
+    om = (2 * np.pi * np.fft.fftfreq(n_t)).astype(complex)
+    phi = np.exp(1j * 2 * np.pi * phase)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fg = phi * np.sqrt(
+            (om[:, None, None] ** (-beta)) * k_sqr[None] ** (-alpha / 2)
+        )
+    fg[0] = 0
+    fg[:, 0, 0] = 0
+    assert np.all(np.isfinite(fg))
+    g = np.fft.ifftn(fg, axes=(0, 1, 2)).real
+    g /= g.std()
+    r = np.exp(g)
+    return r * precip / np.sum(r, axis=0)
+
+
+def test_downscale_matches_numpy_reference():
+    rng = np.random.RandomState(0)
+    precip = rng.gamma(2.0, 5.0, size=(16, 16)).astype(np.float32) + 0.1
+    phase = rng.rand(24, 16, 16).astype(np.float32)
+    got = np.asarray(
+        _downscale_from_phase(jnp.asarray(precip), 1.7, 1.1, jnp.asarray(phase))
+    )
+    want = _numpy_reference_downscale(precip.astype(np.float64), 1.7, 1.1,
+                                      phase.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-4)
+
+
+def test_downscale_conserves_daily_sum():
+    rng = np.random.RandomState(1)
+    precip = rng.gamma(2.0, 5.0, size=(16, 16)).astype(np.float32)
+    out = np.asarray(
+        downscale_spatiotemporal(
+            jnp.asarray(precip), 1.5, 0.9, 24, jax.random.PRNGKey(0)
+        )
+    )
+    assert out.shape == (24, 16, 16)
+    assert np.all(np.isfinite(out))
+    assert out.min() >= 0
+    np.testing.assert_allclose(out.sum(axis=0), precip, rtol=1e-4)
+
+
+def test_downscale_ensemble_members_differ():
+    precip = np.ones((16, 16), dtype=np.float32) * 10
+    ens = np.asarray(
+        downscale_ensemble(jnp.asarray(precip), 1.5, 0.9, 24,
+                           jax.random.PRNGKey(1), 5)
+    )
+    assert ens.shape == (5, 24, 16, 16)
+    assert not np.allclose(ens[0], ens[1])
+    np.testing.assert_allclose(
+        ens.sum(axis=1), np.broadcast_to(precip, (5, 16, 16)), rtol=1e-4
+    )
+
+
+def test_slope_estimators_recover_known_power_law():
+    """Build Gaussian fields with prescribed spectral slopes and check the
+    estimators recover them (SURVEY §4 golden-parity style unit test)."""
+    rng = np.random.RandomState(2)
+    n, n_t, ny, nx = 200, 24, 16, 16
+    alpha_true, beta_true = 2.0, 1.4
+
+    ki = np.fft.fftfreq(ny)
+    kj = np.fft.fftfreq(nx)
+    k = np.sqrt(ki[:, None] ** 2 + kj[None, :] ** 2)
+    om = np.abs(2 * np.pi * np.fft.fftfreq(n_t))
+
+    with np.errstate(divide="ignore"):
+        amp_k = np.where(k > 0, k ** (-alpha_true / 2), 0.0)
+        amp_om = np.where(om > 0, om ** (-beta_true / 2), 0.0)
+    phases = np.exp(1j * 2 * np.pi * rng.rand(n, n_t, ny, nx))
+    fg = phases * amp_om[None, :, None, None] * amp_k[None, None]
+    fields = np.fft.ifftn(fg, axes=(1, 2, 3)).real
+    fields -= fields.min() - 1e-3  # strictly positive
+
+    alpha_est = estimate_alpha(fields)
+    beta_est = estimate_beta(fields)
+    assert abs(alpha_est - alpha_true) < 0.5, alpha_est
+    assert abs(beta_est - beta_true) < 0.5, beta_est
+
+
+def test_calibrate_and_crps_pipeline(tmp_path, synthetic_dataset):
+    from prdisagg_tpu.data.sampler import DeviceDataset
+
+    data, indices, dcfg = synthetic_dataset
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    cfg = RainFarmConfig(n_calib=32, n_repeat=2)
+    slopes = calibrate(ds, cfg, outdir=str(tmp_path))
+    assert len(slopes) == 2
+    assert all(np.isfinite(a) and np.isfinite(b) for a, b in slopes)
+    assert (tmp_path / "spectral_slopes_0.pkl").exists()
+    assert (tmp_path / "rainfarm_calibration_data.npy").exists()
+
+    alpha, beta = slopes[0]
+    reals = np.asarray(ds.sample_patches_raw(jax.random.PRNGKey(3), 3))
+    crps = crps_rainfarm(reals, alpha, beta, cfg, n_members=20)
+    assert crps.shape == (3, 24)
+    assert np.all(np.isfinite(crps))
+    assert np.all(crps >= 0)
