@@ -1,0 +1,133 @@
+"""CRPS evaluation + analysis — parity with generate_and_evaluate_crps.py and
+analyze_crps_results.py.
+
+For each real test sample: an n_members GAN ensemble conditioned on its daily
+sum, CRPS against the real hourly field, area-mean per hour.  The "random"
+baseline scores a fixed ensemble of real training patches
+(rainfarm_calibration_data.npy) against every sample
+(generate_and_evaluate_crps.py:164-195).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prdisagg_tpu.api.pretrained import PretrainedGenerator
+from prdisagg_tpu.ops.stats import crps_ensemble
+
+
+def crps_gan(
+    generator: PretrainedGenerator,
+    reals_precip: np.ndarray,
+    n_members: int = 1000,
+    seed: int = 354,
+    norm_scale: float = 127.4,
+) -> np.ndarray:
+    """reals_precip: (n, 24, nd, nd) mm/h test fields.
+    Returns area-mean CRPS (n, 24)."""
+    latent_dim = generator.cfg.latent_dim
+    gen_apply = generator.predict_fractions
+
+    reals_j = jnp.asarray(reals_precip)
+    dsums = jnp.sum(reals_j, axis=1)  # (n, nd, nd) mm
+
+    @jax.jit
+    def score_one(real, dsum, latent):
+        cond = (dsum / norm_scale)[None, ..., None]
+        cond_b = jnp.broadcast_to(cond, (n_members, *cond.shape[1:]))
+        frac = generator._gen.apply(generator.params, latent, cond_b)[..., 0]
+        ens = frac * dsum[None, None]
+        crps = crps_ensemble(real, ens)
+        return jnp.mean(crps, axis=(1, 2))
+
+    key = jax.random.PRNGKey(seed)
+    out = []
+    for i in range(len(reals_precip)):
+        key, sub = jax.random.split(key)
+        latent = jax.random.normal(sub, (n_members, latent_dim))
+        out.append(np.asarray(score_one(reals_j[i], dsums[i], latent)))
+    return np.stack(out)
+
+
+def crps_random_baseline(
+    reals_precip: np.ndarray, baseline_patches: np.ndarray, chunk: int = 64
+) -> np.ndarray:
+    """Score a fixed real-patch ensemble against every sample
+    (generate_and_evaluate_crps.py:193-195). Returns (n, 24)."""
+    ens = jnp.asarray(baseline_patches)  # (M, 24, nd, nd)
+
+    @jax.jit
+    def score(real_chunk):
+        def one(real):
+            return jnp.mean(crps_ensemble(real, ens), axis=(1, 2))
+        return jax.vmap(one)(real_chunk)
+
+    out = []
+    reals_j = jnp.asarray(reals_precip)
+    for i0 in range(0, len(reals_precip), chunk):
+        out.append(np.asarray(score(reals_j[i0 : i0 + chunk])))
+    return np.concatenate(out)
+
+
+def analyze(
+    gan: np.ndarray,
+    random_baseline: np.ndarray,
+    rainfarm: Optional[np.ndarray] = None,
+    outdir: str = "data",
+    n_bootstrap: int = 10_000,
+    seed: int = 0,
+) -> dict:
+    """Means, 1-sample t-test on (gan - random), bootstrap CI
+    (analyze_crps_results.py:9-47).  Writes crps_results.json."""
+    from scipy import stats
+
+    res = {
+        "gan": float(gan.mean()),
+        "random": float(random_baseline.mean()),
+    }
+    if rainfarm is not None:
+        res["rainfarm"] = float(np.asarray(rainfarm).mean())
+
+    diff = (gan - random_baseline).ravel()
+    _, p = stats.ttest_1samp(diff, popmean=0)
+    res["ttest_p_gan_vs_random"] = float(p)
+
+    rng = np.random.RandomState(seed)
+    means = np.array([
+        diff[rng.choice(len(diff), size=len(diff), replace=True)].mean()
+        for _ in range(n_bootstrap)
+    ])
+    res["bootstrap_diff"] = {
+        "mean": float(diff.mean()),
+        "lower": float(np.percentile(means, 1)),
+        "upper": float(np.percentile(means, 99)),
+    }
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "crps_results.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    return res
+
+
+def run_crps_evaluation(
+    generator: PretrainedGenerator,
+    reals_precip: np.ndarray,
+    baseline_patches: np.ndarray,
+    n_members: int = 1000,
+    outdir: str = "data",
+    seed: int = 354,
+) -> dict:
+    gan = crps_gan(generator, reals_precip, n_members=n_members, seed=seed)
+    rnd = crps_random_baseline(reals_precip, baseline_patches)
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(
+        outdir, f"crps_results_n_sample{len(reals_precip)}.pkl"
+    ), "wb") as f:
+        pickle.dump((gan, rnd), f)
+    return {"gan": gan, "random": rnd, "analysis": analyze(gan, rnd, outdir=outdir)}
