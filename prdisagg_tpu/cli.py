@@ -1,0 +1,314 @@
+"""Command-line interface.
+
+The reference's "CLI" is 20 standalone SLURM scripts with module-level
+constants (SURVEY.md C21); here every pipeline stage is a subcommand over the
+same typed configs:
+
+  python -m prdisagg_tpu.cli train        --synthetic --epochs 2
+  python -m prdisagg_tpu.cli train        --data d.npy --indices i.pkl
+  python -m prdisagg_tpu.cli compute-indices --data d.npy
+  python -m prdisagg_tpu.cli evaluate     --weights gen.npz --data d.npy --indices i.pkl
+  python -m prdisagg_tpu.cli crps         --weights gen.npz ...
+  python -m prdisagg_tpu.cli lsd          --real r.npy --generated g.npy
+  python -m prdisagg_tpu.cli rainfarm-calibrate --data d.npy --indices i.pkl
+  python -m prdisagg_tpu.cli example      [--weights gen.npz]
+  python -m prdisagg_tpu.cli download     --start 20090101 --end 20191231 --out raw/
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import pickle
+import sys
+
+import numpy as np
+
+
+def _load_dataset(args, cfg):
+    from prdisagg_tpu.data.sampler import DeviceDataset
+
+    if getattr(args, "synthetic", False):
+        from prdisagg_tpu.data.synthetic import make_synthetic_dataset
+
+        data, indices, cfg = make_synthetic_dataset(
+            n_days=args.synthetic_days, ny=args.synthetic_size,
+            nx=args.synthetic_size, cfg=cfg,
+        )
+    else:
+        if not args.data or not args.indices:
+            sys.exit("need --data and --indices (or --synthetic)")
+        data = np.load(args.data, mmap_mode="r")
+        with open(args.indices, "rb") as f:
+            indices = np.asarray(pickle.load(f), dtype=np.int32)
+    doy = np.load(args.doy) if getattr(args, "doy", None) else None
+    return DeviceDataset.from_numpy(np.asarray(data), indices, cfg, doy=doy), cfg
+
+
+def _data_config(args):
+    from prdisagg_tpu.core.config import DataConfig
+
+    kw = {}
+    for field in ("ndomain", "stride", "tp_thresh_daily", "n_thresh",
+                  "conditioning", "startdate", "enddate"):
+        v = getattr(args, field, None)
+        if v is not None:
+            kw[field] = v
+    return DataConfig(**kw)
+
+
+def _add_data_args(p, with_dataset=True):
+    p.add_argument("--ndomain", type=int, default=None)
+    p.add_argument("--stride", type=int, default=None)
+    p.add_argument("--tp-thresh-daily", dest="tp_thresh_daily",
+                   type=float, default=None)
+    p.add_argument("--n-thresh", dest="n_thresh", type=int, default=None)
+    p.add_argument("--startdate", default=None)
+    p.add_argument("--enddate", default=None)
+    p.add_argument("--conditioning", choices=["base", "doy", "lon"],
+                   default=None)
+    if with_dataset:
+        p.add_argument("--data", help="training tensor .npy")
+        p.add_argument("--indices", help="valid-indices .pkl")
+        p.add_argument("--doy", help="day-of-year sidecar .npy")
+        p.add_argument("--synthetic", action="store_true",
+                       help="use the synthetic fixture dataset")
+        p.add_argument("--synthetic-days", type=int, default=8)
+        p.add_argument("--synthetic-size", type=int, default=64)
+
+
+def cmd_train(args):
+    from prdisagg_tpu.core.config import ExperimentConfig, TrainConfig
+    from prdisagg_tpu.train.loop import Trainer
+
+    dcfg = _data_config(args)
+    ds, dcfg = _load_dataset(args, dcfg)
+    exp = ExperimentConfig(
+        data=dcfg,
+        train=TrainConfig(
+            schedule=((args.epochs, args.batch_size),),
+            n_disc=args.n_disc, seed=args.seed,
+        ),
+        name=args.name,
+    )
+    tr = Trainer(exp, ds, workdir=args.workdir,
+                 steps_per_epoch=args.steps_per_epoch)
+    if args.resume:
+        tr.maybe_resume()
+    else:
+        tr.plot_real_samples()
+    tr.fit()
+    print(f"finished at epoch {tr.epoch}; artifacts in {tr.outdir}")
+
+
+def cmd_compute_indices(args):
+    from prdisagg_tpu.data.indices import compute_valid_indices
+
+    dcfg = _data_config(args)
+    data = np.load(args.data, mmap_mode="r")
+    idx = compute_valid_indices(np.asarray(data), dcfg,
+                                include_last_box=args.include_last_box)
+    out = args.out or f"data/valid_indices_smhi_radar_{dcfg.params_string()}.pkl"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "wb") as f:
+        pickle.dump([tuple(r) for r in idx], f)
+    print(f"found {len(idx)} valid samples -> {out}")
+
+
+def _load_generator(args, model_cfg=None):
+    from prdisagg_tpu.api import PretrainedGenerator
+
+    if args.weights is None:
+        return None
+    if args.weights.endswith(".h5"):
+        return PretrainedGenerator.from_keras_h5(args.weights, model_cfg)
+    return PretrainedGenerator.from_npz(args.weights, model_cfg)
+
+
+def cmd_evaluate(args):
+    from prdisagg_tpu.core.config import ExperimentConfig
+    from prdisagg_tpu.eval import Evaluator
+
+    dcfg = _data_config(args)
+    ds, dcfg = _load_dataset(args, dcfg)
+    exp = ExperimentConfig(data=dcfg, name=args.name)
+    gen = _load_generator(args, exp.model())
+    if gen is None:
+        sys.exit("evaluate requires --weights")
+    ev = Evaluator(exp, ds, gen, workdir=args.workdir, epoch=args.epoch)
+    overrides = {}
+    if args.smoke:
+        overrides = dict(n_map_conditions=2, n_fake_per_real=2,
+                         n_stat_samples=50, n_line_conditions=1,
+                         n_line_free_noise=10, n_line_shared_noise=2,
+                         n_ks_conditions=2, n_ks_members=100)
+    ev.run_all(**overrides)
+    print(f"evaluation artifacts in {ev.plotdir} and {ev.datadir}")
+
+
+def cmd_crps(args):
+    from prdisagg_tpu.eval.crps import run_crps_evaluation
+
+    gen = _load_generator(args)
+    reals = np.load(args.real)[: args.n_samples]
+    baseline = np.load(args.baseline)
+    res = run_crps_evaluation(gen, reals, baseline,
+                              n_members=args.n_members, outdir=args.out)
+    print(res["analysis"])
+
+
+def cmd_lsd(args):
+    from prdisagg_tpu.eval.lsd import run_lsd_evaluation
+
+    rf = np.load(args.rainfarm) if args.rainfarm else None
+    run_lsd_evaluation(
+        np.load(args.real), np.load(args.generated), rf,
+        n_samples=args.n_samples, outdir=args.out, plotdir=args.plotdir,
+    )
+    print(f"LSD artifacts in {args.out}")
+
+
+def cmd_rainfarm_calibrate(args):
+    from prdisagg_tpu.baselines.rainfarm.pipeline import calibrate
+    from prdisagg_tpu.core.config import RainFarmConfig
+
+    dcfg = _data_config(args)
+    ds, _ = _load_dataset(args, dcfg)
+    cfg = RainFarmConfig(n_calib=args.n_calib, n_repeat=args.n_repeat)
+    slopes = calibrate(ds, cfg, outdir=args.out)
+    for i, (a, b) in enumerate(slopes):
+        print(f"repeat {i}: alpha={a:.4f} beta={b:.4f}")
+
+
+def cmd_rainfarm_crps(args):
+    from prdisagg_tpu.baselines.rainfarm.pipeline import crps_rainfarm
+    from prdisagg_tpu.core.config import RainFarmConfig
+
+    with open(args.slopes, "rb") as f:
+        alpha, beta = pickle.load(f)
+    reals = np.load(args.real)[: args.n_samples]
+    out = crps_rainfarm(reals, alpha, beta, RainFarmConfig(),
+                        n_members=args.n_members,
+                        outfile=os.path.join(args.out, "crps_results_rainfarm.pkl"))
+    print(f"rainfarm CRPS mean: {out.mean():.4f}")
+
+
+def cmd_example(args):
+    """Reference example.py: uniform 10 mm/day condition -> 10 scenarios."""
+    from prdisagg_tpu.api import PretrainedGenerator
+    from prdisagg_tpu.core.config import ModelConfig
+
+    gen = _load_generator(args)
+    if gen is None:
+        print("no --weights given: using a randomly initialized generator "
+              "(structure demo only)")
+        from prdisagg_tpu.core.config import TrainConfig
+        from prdisagg_tpu.train import create_train_state
+
+        state, _, _ = create_train_state(ModelConfig(), TrainConfig())
+        gen = PretrainedGenerator(state.gen_params)
+    cond = 10 * np.ones((gen.cfg.ndomain, gen.cfg.ndomain, 1))
+    scenarios = gen.generate_scenarios(cond, args.n_scenarios)
+    fig = gen.plot_scenarios(scenarios)
+    fig.savefig(args.out)
+    print(f"saved {args.out}; conservation check: "
+          f"max|sum_h - cond| = {np.abs(scenarios.sum(axis=1) - 10).max():.2e}")
+
+
+def cmd_download(args):
+    from prdisagg_tpu.data.download import download_range
+
+    failed = download_range(args.start, args.end, args.out)
+    print(f"failed dates: {failed}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="prdisagg_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    _add_data_args(t)
+    t.add_argument("--epochs", type=int, default=50)
+    t.add_argument("--batch-size", type=int, default=32)
+    t.add_argument("--n-disc", type=int, default=5)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--steps-per-epoch", type=int, default=None)
+    t.add_argument("--workdir", default=".")
+    t.add_argument("--name", default="wgancp_pixelnorm")
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    c = sub.add_parser("compute-indices")
+    _add_data_args(c, with_dataset=False)
+    c.add_argument("--data", required=True)
+    c.add_argument("--out")
+    c.add_argument("--include-last-box", action="store_true",
+                   help="fix the reference's off-by-one sweep boundary")
+    c.set_defaults(fn=cmd_compute_indices)
+
+    e = sub.add_parser("evaluate")
+    _add_data_args(e)
+    e.add_argument("--weights", required=False)
+    e.add_argument("--epoch", type=int, default=20)
+    e.add_argument("--workdir", default=".")
+    e.add_argument("--name", default="wgancp_pixelnorm")
+    e.add_argument("--smoke", action="store_true")
+    e.set_defaults(fn=cmd_evaluate)
+
+    cr = sub.add_parser("crps")
+    cr.add_argument("--weights", required=True)
+    cr.add_argument("--real", required=True, help="real_samples.npy")
+    cr.add_argument("--baseline", required=True,
+                    help="rainfarm_calibration_data.npy")
+    cr.add_argument("--n-members", type=int, default=1000)
+    cr.add_argument("--n-samples", type=int, default=10000)
+    cr.add_argument("--out", default="data")
+    cr.set_defaults(fn=cmd_crps)
+
+    l = sub.add_parser("lsd")
+    l.add_argument("--real", required=True)
+    l.add_argument("--generated", required=True)
+    l.add_argument("--rainfarm")
+    l.add_argument("--n-samples", type=int, default=1000)
+    l.add_argument("--out", default=".")
+    l.add_argument("--plotdir", default="plots")
+    l.set_defaults(fn=cmd_lsd)
+
+    rc = sub.add_parser("rainfarm-calibrate")
+    _add_data_args(rc)
+    rc.add_argument("--n-calib", type=int, default=5000)
+    rc.add_argument("--n-repeat", type=int, default=10)
+    rc.add_argument("--out", default="data")
+    rc.set_defaults(fn=cmd_rainfarm_calibrate)
+
+    rcr = sub.add_parser("rainfarm-crps")
+    rcr.add_argument("--slopes", required=True, help="spectral_slopes_0.pkl")
+    rcr.add_argument("--real", required=True)
+    rcr.add_argument("--n-members", type=int, default=1000)
+    rcr.add_argument("--n-samples", type=int, default=10000)
+    rcr.add_argument("--out", default="data")
+    rcr.set_defaults(fn=cmd_rainfarm_crps)
+
+    ex = sub.add_parser("example")
+    ex.add_argument("--weights")
+    ex.add_argument("--n-scenarios", type=int, default=10)
+    ex.add_argument("--out", default="generated_scenarios1.png")
+    ex.set_defaults(fn=cmd_example)
+
+    d = sub.add_parser("download")
+    d.add_argument("--start", default="20090101")
+    d.add_argument("--end", default="20191231")
+    d.add_argument("--out", required=True)
+    d.set_defaults(fn=cmd_download)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

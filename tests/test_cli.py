@@ -1,0 +1,43 @@
+import glob
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from prdisagg_tpu.cli import main
+
+
+def test_cli_train_synthetic(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    main([
+        "train", "--synthetic", "--synthetic-days", "4",
+        "--synthetic-size", "32", "--epochs", "1", "--batch-size", "4",
+        "--n-disc", "1", "--steps-per-epoch", "2",
+        "--workdir", str(tmp_path), "--name", "clismoke",
+    ])
+    assert glob.glob(str(tmp_path / "trained_models" / "clismoke" / "gen_*.npz"))
+    assert (tmp_path / "hist.csv").exists()
+
+
+def test_cli_compute_indices(tmp_path):
+    rng = np.random.RandomState(0)
+    data = rng.gamma(0.8, 4.0, size=(3, 24, 32, 32)).astype(np.float32)
+    dpath = str(tmp_path / "d.npy")
+    np.save(dpath, data)
+    out = str(tmp_path / "idx.pkl")
+    main(["compute-indices", "--data", dpath, "--out", out])
+    with open(out, "rb") as f:
+        idx = pickle.load(f)
+    assert isinstance(idx, list)
+    from prdisagg_tpu.core.config import DataConfig
+    from prdisagg_tpu.data.indices import compute_valid_indices_bruteforce
+
+    want = compute_valid_indices_bruteforce(data, DataConfig())
+    assert len(idx) == len(want)
+
+
+def test_cli_example(tmp_path):
+    out = str(tmp_path / "scen.png")
+    main(["example", "--n-scenarios", "2", "--out", out])
+    assert os.path.exists(out)
