@@ -36,6 +36,9 @@ class Critic(nn.Module):
         """
         cfg = self.cfg
         compute_dtype = jnp.dtype(cfg.compute_dtype)
+        # Keras leaves the critic at its default glorot_uniform init
+        # (no explicit initializer at reference :286-304); match it
+        init = nn.initializers.glorot_uniform()
 
         cond_b = jnp.broadcast_to(
             cond[:, None],
@@ -49,6 +52,7 @@ class Critic(nn.Module):
                 kernel_size=(3, 3, 3),
                 strides=(2, 2, 2),
                 padding="VALID" if i == 0 else "SAME",
+                kernel_init=init,
                 dtype=compute_dtype,
                 name=f"conv{i}",
             )(x)
@@ -56,4 +60,4 @@ class Critic(nn.Module):
             x = nn.Dropout(rate=cfg.dropout_rate, deterministic=deterministic)(x)
 
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
-        return nn.Dense(1, name="score")(x)
+        return nn.Dense(1, kernel_init=init, name="score")(x)
