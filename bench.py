@@ -14,6 +14,7 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -21,8 +22,25 @@ import numpy as np
 REFERENCE_STEPS_PER_SEC_ESTIMATE = 2.5  # V100, see module docstring
 
 
+def _sync(x) -> float:
+    """Force completion by fetching a dependent scalar to the host.
+
+    `block_until_ready` does not reliably wait on the tunneled TPU platform
+    (measured: chained dispatch appears ~80x faster than physics allows);
+    a host fetch of a value that depends on the full computation does.
+    """
+    return float(x)
+
+
 def main():
     import jax
+
+    try:  # persistent compile cache: first run ~30-300s, later runs seconds
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/prdisagg_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from prdisagg_tpu.core.config import ModelConfig, TrainConfig
     from prdisagg_tpu.data.sampler import DeviceDataset
@@ -41,14 +59,13 @@ def main():
 
     # warmup / compile
     state, metrics = step(state, ds)
-    jax.block_until_ready(state)
-    assert not bool(metrics["nonfinite"])
+    assert not bool(metrics["nonfinite"])  # host fetch = hard sync
 
     n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, ds)
-    jax.block_until_ready(state)
+    _sync(metrics["d_loss"])  # depends on the full 30-step chain
     dt = time.perf_counter() - t0
     steps_per_sec = n_steps / dt
 
@@ -57,12 +74,14 @@ def main():
     latent = jax.random.normal(jax.random.PRNGKey(0), (n_scen, model_cfg.latent_dim))
     cond = jax.numpy.ones((n_scen, 16, 16, 1)) * (10.0 / 127.4)
     fwd = jax.jit(lambda p, l, c: gen.apply(p, l, c))
-    fwd(state.gen_params, latent, cond).block_until_ready()
+    _sync(fwd(state.gen_params, latent, cond).sum())
     t0 = time.perf_counter()
+    acc = None
     reps = 10
     for _ in range(reps):
         out = fwd(state.gen_params, latent, cond)
-    out.block_until_ready()
+        acc = out if acc is None else acc + out
+    _sync(acc.sum())
     scen_per_sec = reps * n_scen / (time.perf_counter() - t0)
 
     print(json.dumps({
