@@ -58,7 +58,9 @@ class Evaluator:
 
     def _sample_reals(self, n: int):
         """(fractions (n,24,nd,nd,1), cond (n,nd,nd,C)) from the test set."""
-        return self.ds.sample_real(self._next_key(), n)
+        from prdisagg_tpu.data.sampler import sample_real_jit
+
+        return sample_real_jit(self.ds, self._next_key(), n)
 
     def _predict(self, latent, cond_batch) -> np.ndarray:
         """(B, 24, nd, nd) fraction fields."""

@@ -73,7 +73,13 @@ class Trainer:
         self.ds = ds
 
         self.ckpt = CheckpointManager(os.path.join(self.outdir, "ckpt"))
-        self.hist: dict[str, list] = {"d_loss": [], "g_loss": []}
+        # d_loss/g_loss mirror the reference hist.csv columns
+        # (gan_train_cwgangp_pixelnorm.py:427); the rest are extra
+        # observability (SURVEY.md §5 metrics row)
+        self.hist: dict[str, list] = {
+            "d_loss": [], "g_loss": [], "gp": [], "w_distance": [],
+            "d_grad_norm": [], "g_grad_norm": [],
+        }
         self.epoch = 0
 
     # ------------------------------------------------------------------
@@ -85,6 +91,14 @@ class Trainer:
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
         self.epoch = latest
+        hist_path = os.path.join(self.workdir, "hist.csv")
+        if os.path.exists(hist_path):
+            import pandas as pd
+
+            df = pd.read_csv(hist_path, index_col=0)
+            for k in self.hist:
+                if k in df:
+                    self.hist[k] = df[k].tolist()
         return True
 
     # ------------------------------------------------------------------
@@ -116,8 +130,8 @@ class Trainer:
                         raise NaNLossError(
                             f"non-finite loss at epoch {self.epoch + 1} step {j}: {m}"
                         )
-                    self.hist["d_loss"].append(m["d_loss"])
-                    self.hist["g_loss"].append(m["g_loss"])
+                    for k in self.hist:
+                        self.hist[k].append(m[k])
                     if progress:
                         print(
                             f"epoch {self.epoch + 1} {j + 1}/{spe} "
@@ -157,14 +171,24 @@ class Trainer:
 
         pd.DataFrame(self.hist).to_csv(os.path.join(self.workdir, "hist.csv"))
 
+    def _fake_plot_batch(self, epoch: int, n_plot: int):
+        if not hasattr(self, "_plot_fn"):
+            def plot_batch(params, ds, key, n):
+                k_lat, k_cond = jax.random.split(key)
+                latent = jax.random.normal(k_lat, (n, self.model_cfg.latent_dim))
+                cond = ds.sample_cond(k_cond, n)
+                return self.gen.apply(params, latent, cond), cond
+
+            self._plot_fn = jax.jit(plot_batch, static_argnames=("n",))
+        return self._plot_fn(
+            self.state.gen_params, self.ds, jax.random.PRNGKey(1000 + epoch),
+            n_plot,
+        )
+
     def _plot_epoch(self, epoch: int, n_plot: int = 30):
         from prdisagg_tpu.utils import plotting
 
-        key = jax.random.PRNGKey(1000 + epoch)
-        k_lat, k_cond = jax.random.split(key)
-        latent = jax.random.normal(k_lat, (n_plot, self.model_cfg.latent_dim))
-        cond = self.ds.sample_cond(k_cond, n_plot)
-        fake = self.gen.apply(self.state.gen_params, latent, cond)
+        fake, cond = self._fake_plot_batch(epoch, n_plot)
 
         fig = plotting.sample_grid(
             np.asarray(fake), np.asarray(cond), title=f"epoch {epoch:04d}"
@@ -183,9 +207,10 @@ class Trainer:
 
     def plot_real_samples(self, n_plot: int = 30):
         """Pre-training real-sample grid (reference :411-425)."""
+        from prdisagg_tpu.data.sampler import sample_real_jit
         from prdisagg_tpu.utils import plotting
 
-        frac, cond = self.ds.sample_real(jax.random.PRNGKey(7), n_plot)
+        frac, cond = sample_real_jit(self.ds, jax.random.PRNGKey(7), n_plot)
         fig = plotting.sample_grid(np.asarray(frac), np.asarray(cond))
         fig.savefig(os.path.join(self.plotdir, "real_samples.png"))
         plotting.close_all()
