@@ -138,6 +138,9 @@ class TrainConfig:
     # ((n_epochs, batch_size), ...) increasing-batch-size schedule
     schedule: Tuple[Tuple[int, int], ...] = ((50, 32),)
     seed: int = 0
+    # 'rbg' is ~17% faster per fused step on TPU v5e than the default
+    # 'threefry2x32' (dropout-mask + latent generation cost); see utils/rng.py
+    rng_impl: str = "rbg"
     checkpoint_every_epochs: int = 1
     log_every_steps: int = 50
     # data-parallel mesh size; None = use all local devices

@@ -39,6 +39,9 @@ def create_train_state(
     seed: int | None = None,
 ) -> tuple[GANTrainState, Generator, Critic]:
     seed = train_cfg.seed if seed is None else seed
+    from prdisagg_tpu.utils.rng import set_rng_impl
+
+    set_rng_impl(train_cfg.rng_impl)
     gen = Generator(model_cfg)
     critic = Critic(model_cfg)
 
