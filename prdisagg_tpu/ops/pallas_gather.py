@@ -1,0 +1,95 @@
+"""Pallas TPU kernel: random patch gather from the HBM-resident radar tensor.
+
+The training sampler's hot data movement is "fetch B windows (nh, nd, nd) at
+dynamic (t, y, x) offsets from a big HBM array".  XLA lowers the vmapped
+`dynamic_slice` to a gather; this kernel scalar-prefetches the index triples
+(PrefetchScalarGridSpec) and, per patch, issues one async DMA of the
+full-width row strip data[t, :, y:y+nd, :] HBM -> VMEM, then selects the x
+columns with an exact dynamic lane roll.
+
+Why the strip + matmul: Mosaic DMA slice offsets must respect the (8, 128)
+f32 tiling — the sublane (y) offset is provably aligned because valid-patch
+indices are laid out on the sweep stride (multiples of 8; see
+`compute_valid_indices`), but lane (x) offsets of e.g. 16 can never be
+128-aligned.  The lane selection is an exact dynamic roll (pltpu.roll) plus a
+static slice — no arithmetic touches the data, so the gather is bit-exact.
+
+Falls back to interpret mode off-TPU (used by the CPU test suite).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(nh: int, nd: int, nx: int):
+    def kernel(t_ref, y_ref, x_ref, data_ref, out_ref, strip, sem):
+        b = pl.program_id(0)
+        t = t_ref[b]
+        y = pl.multiple_of(y_ref[b], 8)
+        x = x_ref[b]
+
+        dma = pltpu.make_async_copy(
+            data_ref.at[t, :, pl.ds(y, nd), :],
+            strip,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+
+        # exact dynamic lane selection: roll columns left by x, keep first nd
+        s = strip[:].reshape(nh * nd, nx)
+        rolled = pltpu.roll(s, shift=-x, axis=1)
+        out_ref[0] = rolled[:, :nd].reshape(nh, nd, nd)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("ndomain", "interpret"))
+def gather_patches_pallas(
+    data: jax.Array,
+    indices: jax.Array,
+    ndomain: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """data: (D, nh, ny, nx) f32 (HBM); indices: (B, 3) int32 (t, y, x) with
+    y offsets aligned to 8 (guaranteed for sweep strides that are multiples
+    of 8 — e.g. the reference's stride 16).
+
+    Returns (B, nh, nd, nd) patches.
+    """
+    _, nh, _, nx = data.shape
+    b = indices.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        # three 1-D vectors, not one (B, 3) array: SMEM prefetch pads the
+        # minor dimension to full lanes, which overflows SMEM for large B
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, nh, ndomain, ndomain),
+            lambda i, t_ref, y_ref, x_ref: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nh, ndomain, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _make_kernel(nh, ndomain, nx),
+        out_shape=jax.ShapeDtypeStruct((b, nh, ndomain, ndomain), data.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(indices[:, 0], indices[:, 1], indices[:, 2], data)
+
+
+def is_tpu_backend() -> bool:
+    return jax.default_backend() == "tpu" or any(
+        d.platform == "tpu" for d in jax.devices()
+    )

@@ -69,11 +69,14 @@ def make_train_step(
     n_disc = train_cfg.n_disc
     gp_weight = train_cfg.gp_weight
     latent_dim = model_cfg.latent_dim
+    # the Pallas DMA gather has no SPMD sharding rule (single-device only);
+    # see TrainConfig.pallas_gather for the measured train-step tradeoff
+    allow_pallas = train_cfg.pallas_gather and (mesh is None or mesh.size == 1)
 
     def critic_loss_fn(critic_params, gen_params, ds: DeviceDataset, key):
         k_real, k_lat, k_eps, k_d1, k_d2, k_d3 = jax.random.split(key, 6)
 
-        frac_real, cond = ds.sample_real(k_real, batch_size)
+        frac_real, cond = ds.sample_real(k_real, batch_size, allow_pallas)
         latent = jax.random.normal(k_lat, (batch_size, latent_dim))
         frac_real, cond, latent = shard(frac_real), shard(cond), shard(latent)
 
@@ -118,7 +121,8 @@ def make_train_step(
 
     def gen_loss_fn(gen_params, critic_params, ds: DeviceDataset, key):
         k_sample, k_d = jax.random.split(key)
-        latent, cond = ds.sample_latent(k_sample, batch_size, latent_dim)
+        latent, cond = ds.sample_latent(k_sample, batch_size, latent_dim,
+                                        allow_pallas)
         latent, cond = shard(latent), shard(cond)
         fake = gen.apply(gen_params, latent, cond)
         d_fake = critic.apply(
