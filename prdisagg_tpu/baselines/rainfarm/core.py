@@ -115,6 +115,71 @@ def downscale_spatiotemporal(
     return _downscale_from_phase(precip, alpha, beta, phase)
 
 
+def estimate_alpha_single(precip: np.ndarray) -> float:
+    """Spatial slope from one 2-D field (rainfarm_pysteps.py:86-91)."""
+    p = np.asarray(precip)
+    ki = np.fft.fftfreq(p.shape[0])
+    kj = np.fft.fftfreq(p.shape[1])
+    k = np.sqrt(ki[:, None] ** 2 + kj[None, :] ** 2)
+    log_ps = np.log(np.abs(np.fft.fft2(p)) ** 2)
+    valid = (k != 0) & np.isfinite(log_ps)
+    return _log_slope(np.log(k[valid]), log_ps[valid])
+
+
+def _balanced_spatial_average(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """convolve(x, k) / convolve(ones, k) with ndimage 'reflect' boundaries
+    (rainfarm_pysteps.py:34-36)."""
+    rad = kernel.shape[0] // 2
+    xp = jnp.pad(x, rad, mode="symmetric")  # == scipy.ndimage mode='reflect'
+    k4 = kernel[None, None, ::-1, ::-1]     # ndimage convolve flips the kernel
+
+    def conv(a):
+        return jax.lax.conv_general_dilated(
+            a[None, None], k4, (1, 1), "VALID"
+        )[0, 0]
+
+    return conv(xp) / conv(jnp.ones_like(xp))
+
+
+@partial(jax.jit, static_argnames=("ds_factor",))
+def downscale_spatial(
+    precip: jax.Array,
+    alpha: float,
+    ds_factor: int,
+    key: jax.Array,
+) -> jax.Array:
+    """Pure spatial RainFARM downscaling (Rebora 2006; pysteps port at
+    rainfarm_pysteps.py:39-125): (m, n) rain-rate field ->
+    (m*ds_factor, n*ds_factor), conserving tophat-window local averages.
+
+    Estimate alpha beforehand with `estimate_alpha_single` when unknown.
+    """
+    m, n = precip.shape
+    md, nd_ = m * ds_factor, n * ds_factor
+    ki = jnp.fft.fftfreq(md, d=1.0 / ds_factor)
+    kj = jnp.fft.fftfreq(nd_, d=1.0 / ds_factor)
+    k_sqr = ki[:, None] ** 2 + kj[None, :] ** 2
+
+    phase = jax.random.uniform(key, (md, nd_))
+    phi = jnp.exp(1j * 2 * jnp.pi * phase)
+    k_safe = jnp.where(k_sqr == 0.0, 1.0, k_sqr)
+    fg = phi * jnp.sqrt(k_safe ** (-alpha / 2.0)) * (k_sqr != 0.0)
+
+    g = jnp.fft.ifft2(fg).real
+    g = g / jnp.std(g)
+    r = jnp.exp(g)
+
+    p_u = jnp.repeat(jnp.repeat(precip, ds_factor, axis=0), ds_factor, axis=1)
+    rad = int(round(ds_factor / np.sqrt(np.pi)))
+    mx, my = np.mgrid[-rad : rad + 0.01, -rad : rad + 0.01]
+    tophat = ((mx**2 + my**2) <= rad**2).astype(np.float32)
+    tophat = jnp.asarray(tophat / tophat.sum())
+
+    p_agg = _balanced_spatial_average(p_u, tophat)
+    r_agg = _balanced_spatial_average(r, tophat)
+    return r * p_agg / r_agg
+
+
 def downscale_ensemble(
     precip: jax.Array,
     alpha: float,

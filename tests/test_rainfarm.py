@@ -122,3 +122,39 @@ def test_calibrate_and_crps_pipeline(tmp_path, synthetic_dataset):
     assert crps.shape == (3, 24)
     assert np.all(np.isfinite(crps))
     assert np.all(crps >= 0)
+
+
+def test_spatial_downscale():
+    """Pure spatial RainFARM (pysteps variant, rainfarm_pysteps.py:39-125)."""
+    from scipy.ndimage import convolve as nd_convolve
+
+    from prdisagg_tpu.baselines.rainfarm.core import (
+        _balanced_spatial_average,
+        downscale_spatial,
+        estimate_alpha_single,
+    )
+
+    rng = np.random.RandomState(3)
+    # balanced spatial average parity with scipy.ndimage
+    x = rng.rand(20, 24).astype(np.float32)
+    rad = 4
+    mx, my = np.mgrid[-rad : rad + 0.01, -rad : rad + 0.01]
+    k = ((mx**2 + my**2) <= rad**2).astype(float)
+    k /= k.sum()
+    want = nd_convolve(x.astype(float), k) / nd_convolve(
+        np.ones_like(x, dtype=float), k
+    )
+    got = np.asarray(
+        _balanced_spatial_average(jnp.asarray(x), jnp.asarray(k, jnp.float32))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    p = rng.gamma(2.0, 3.0, (10, 12)).astype(np.float32)
+    alpha = estimate_alpha_single(p)
+    assert np.isfinite(alpha)
+    r = np.asarray(downscale_spatial(jnp.asarray(p), alpha, 4,
+                                     jax.random.PRNGKey(0)))
+    assert r.shape == (40, 48)
+    assert np.all(np.isfinite(r)) and r.min() >= 0
+    # global mean approximately conserved by the tophat rescale
+    assert abs(r.mean() / p.mean() - 1.0) < 0.1
