@@ -21,6 +21,31 @@ import jax.numpy as jnp
 
 from prdisagg_tpu.core.config import ModelConfig
 from prdisagg_tpu.ops import hour_softmax, leaky_relu, pixel_norm, upsample3d_nearest
+from prdisagg_tpu.ops.fused_upsample_conv import upsample2_conv3
+
+
+class FusedUpsampleConv(nn.Module):
+    """nearest-upsample x2 + Conv3D(3^3, SAME) as folded phase convolutions.
+
+    Parameter layout matches nn.Conv (kernel (3,3,3,Cin,Cout), bias), so
+    modules named conv{i} stay compatible with reference .h5 weight import.
+    """
+
+    features: int
+    kernel_init: nn.initializers.Initializer
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, 3, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return upsample2_conv3(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            bias.astype(self.dtype),
+        )
 
 
 class Generator(nn.Module):
@@ -49,15 +74,20 @@ class Generator(nn.Module):
         x = x.reshape(b, gd, gh, gw, cfg.base_channels)
 
         for i, ch in enumerate(cfg.gen_channels):
-            x = upsample3d_nearest(x, 2)
-            x = nn.Conv(
-                ch,
-                kernel_size=(3, 3, 3),
-                padding="SAME",
-                kernel_init=init,
-                dtype=compute_dtype,
-                name=f"conv{i}",
-            )(x)
+            if cfg.fused_upsample:
+                x = FusedUpsampleConv(
+                    ch, kernel_init=init, dtype=compute_dtype, name=f"conv{i}"
+                )(x)
+            else:
+                x = upsample3d_nearest(x, 2)
+                x = nn.Conv(
+                    ch,
+                    kernel_size=(3, 3, 3),
+                    padding="SAME",
+                    kernel_init=init,
+                    dtype=compute_dtype,
+                    name=f"conv{i}",
+                )(x)
             x = pixel_norm(x.astype(jnp.float32))
             x = leaky_relu(x, cfg.leak).astype(compute_dtype)
 
