@@ -87,16 +87,25 @@ def crps_rainfarm(
     reals_j = jnp.asarray(reals)
     dsums = jnp.sum(reals_j, axis=1)
 
-    @jax.jit
     def one(real, dsum, key):
         ens = downscale_ensemble(dsum, alpha, beta, cfg.ds_t_factor, key, n_members)
         crps = crps_ensemble(real, ens)
         return jnp.mean(crps, axis=(1, 2))
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), len(reals))
-    out = np.stack(
-        [np.asarray(one(reals_j[i], dsums[i], keys[i])) for i in range(len(reals))]
-    )
+    score_chunk = jax.jit(jax.vmap(one))
+    chunk = 8
+    n = len(reals)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    outs = []
+    for i0 in range(0, n, chunk):
+        c = min(chunk, n - i0)
+        r, d, k = reals_j[i0 : i0 + c], dsums[i0 : i0 + c], keys[i0 : i0 + c]
+        if c < chunk:  # pad tail to reuse the compiled chunk shape
+            r = jnp.concatenate([r, jnp.ones((chunk - c, *r.shape[1:]))])
+            d = jnp.concatenate([d, jnp.ones((chunk - c, *d.shape[1:]))])
+            k = jnp.concatenate([k, k[-1:].repeat(chunk - c, axis=0)])
+        outs.append(np.asarray(score_chunk(r, d, k)[:c]))
+    out = np.concatenate(outs)
     if outfile:
         os.makedirs(os.path.dirname(outfile) or ".", exist_ok=True)
         with open(outfile, "wb") as f:

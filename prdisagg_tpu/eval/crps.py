@@ -29,16 +29,17 @@ def crps_gan(
     n_members: int = 1000,
     seed: int = 354,
     norm_scale: float = 127.4,
+    chunk: int = 8,
 ) -> np.ndarray:
     """reals_precip: (n, 24, nd, nd) mm/h test fields.
-    Returns area-mean CRPS (n, 24)."""
+    Returns area-mean CRPS (n, 24).
+
+    The reference loops 10,000 single-sample 1000-member predicts
+    (generate_and_evaluate_crps.py:177-195); here samples are scored in
+    vmapped chunks — one device dispatch per `chunk` samples.
+    """
     latent_dim = generator.cfg.latent_dim
-    gen_apply = generator.predict_fractions
 
-    reals_j = jnp.asarray(reals_precip)
-    dsums = jnp.sum(reals_j, axis=1)  # (n, nd, nd) mm
-
-    @jax.jit
     def score_one(real, dsum, latent):
         cond = (dsum / norm_scale)[None, ..., None]
         cond_b = jnp.broadcast_to(cond, (n_members, *cond.shape[1:]))
@@ -47,13 +48,25 @@ def crps_gan(
         crps = crps_ensemble(real, ens)
         return jnp.mean(crps, axis=(1, 2))
 
+    score_chunk = jax.jit(jax.vmap(score_one))
+
+    reals_j = jnp.asarray(reals_precip)
+    dsums = jnp.sum(reals_j, axis=1)  # (n, nd, nd) mm
+    n = len(reals_precip)
     key = jax.random.PRNGKey(seed)
     out = []
-    for i in range(len(reals_precip)):
+    for i0 in range(0, n, chunk):
+        c = min(chunk, n - i0)
         key, sub = jax.random.split(key)
-        latent = jax.random.normal(sub, (n_members, latent_dim))
-        out.append(np.asarray(score_one(reals_j[i], dsums[i], latent)))
-    return np.stack(out)
+        latent = jax.random.normal(sub, (chunk, n_members, latent_dim))
+        r = reals_j[i0 : i0 + c]
+        d = dsums[i0 : i0 + c]
+        if c < chunk:  # pad the tail so the jitted chunk shape is reused
+            r = jnp.concatenate([r, jnp.ones((chunk - c, *r.shape[1:]))])
+            d = jnp.concatenate([d, jnp.ones((chunk - c, *d.shape[1:]))])
+        res = score_chunk(r, d, latent)
+        out.append(np.asarray(res[:c]))
+    return np.concatenate(out)
 
 
 def crps_random_baseline(
