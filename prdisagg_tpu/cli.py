@@ -18,7 +18,6 @@ same typed configs:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import pickle
 import sys

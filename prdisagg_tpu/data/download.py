@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 import zipfile
-from typing import List, Optional
+from typing import List
 
 SMHI_URL = (
     "https://opendata-download-radar.smhi.se/api/version/latest/area/sweden/"

@@ -18,8 +18,7 @@ at a time into a preallocated output, so memory is O(one day).
 
 from __future__ import annotations
 
-import os
-from typing import Iterable, Iterator, Optional, Sequence, Tuple
+from typing import Iterable, Optional, Sequence, Tuple
 
 import numpy as np
 
