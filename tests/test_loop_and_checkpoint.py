@@ -96,3 +96,24 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+def test_multi_stage_batch_schedule(tmp_path):
+    """Increasing-batch-size schedule (reference
+    gan_train_cwgangp_pixelnorm.py:73-74,524-529): one stage per tuple,
+    recompiled per batch size, epochs accumulate."""
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32, seed=12)
+    exp = ExperimentConfig(
+        data=DataConfig(),
+        train=TrainConfig(n_disc=1, schedule=((1, 4), (1, 8)), seed=13,
+                          log_every_steps=1),
+        name="sched",
+        model_override=SMALL_MODEL,
+    )
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    tr = Trainer(exp, ds, workdir=str(tmp_path), use_mesh=False,
+                 steps_per_epoch=1, plot_every_epochs=0)
+    hist = tr.fit(progress=False)
+    assert tr.epoch == 2
+    assert len(hist["d_loss"]) == 2
+    assert np.isfinite(hist["d_loss"]).all()
