@@ -74,7 +74,7 @@ def make_train_step(
     allow_pallas = train_cfg.pallas_gather and (mesh is None or mesh.size == 1)
 
     def critic_loss_fn(critic_params, gen_params, ds: DeviceDataset, key):
-        k_real, k_lat, k_eps, k_d1, k_d2, k_d3 = jax.random.split(key, 6)
+        k_real, k_lat, k_eps, k_d1, k_d3 = jax.random.split(key, 5)
 
         frac_real, cond = ds.sample_real(k_real, batch_size, allow_pallas)
         latent = jax.random.normal(k_lat, (batch_size, latent_dim))
@@ -83,14 +83,18 @@ def make_train_step(
         fake = gen.apply(gen_params, latent, cond)
         fake = jax.lax.stop_gradient(fake)
 
-        d_real = critic.apply(
-            critic_params, frac_real, cond, deterministic=False,
+        # one 2B critic call for real+fake (fewer, larger kernels; dropout
+        # masks remain independent per sample — statistically identical to
+        # two separate calls)
+        scores = critic.apply(
+            critic_params,
+            jnp.concatenate([frac_real, fake], axis=0),
+            jnp.concatenate([cond, cond], axis=0),
+            deterministic=False,
             rngs={"dropout": k_d1},
         )
-        d_fake = critic.apply(
-            critic_params, fake, cond, deterministic=False,
-            rngs={"dropout": k_d2},
-        )
+        d_real = scores[:batch_size]
+        d_fake = scores[batch_size:]
 
         eps = jax.random.uniform(k_eps, (batch_size, 1, 1, 1, 1))
         eps = shard(eps)
