@@ -65,3 +65,43 @@ def create_train_state(
         key=k_state,
     )
     return state, gen, critic
+
+
+def warm_start(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    gen_weights: str,
+    critic_weights: str | None = None,
+) -> tuple[GANTrainState, Generator, Critic]:
+    """Build a training state warm-started from saved weights — the
+    reference's continue-training workflow (it reloads only weights, resets
+    optimizers; gan_train_cwgangp_pixelnorm.py:520-529 + start_epoch).
+
+    Weight files may be native .npz exports or reference Keras .h5.
+    """
+    from prdisagg_tpu.models.io import (
+        load_keras_critic_h5,
+        load_keras_generator_h5,
+        load_params_npz,
+    )
+
+    state, gen, critic = create_train_state(model_cfg, train_cfg)
+    if gen_weights.endswith(".h5"):
+        gen_params = load_keras_generator_h5(gen_weights, model_cfg)
+    else:
+        gen_params = load_params_npz(gen_weights)
+    critic_params = state.critic_params
+    if critic_weights is not None:
+        if critic_weights.endswith(".h5"):
+            critic_params = load_keras_critic_h5(critic_weights, model_cfg)
+        else:
+            critic_params = load_params_npz(critic_weights)
+
+    tx = make_optimizer(train_cfg)
+    state = state.replace(
+        gen_params=gen_params,
+        critic_params=critic_params,
+        gen_opt=tx.init(gen_params),
+        critic_opt=tx.init(critic_params),
+    )
+    return state, gen, critic

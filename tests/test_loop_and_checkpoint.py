@@ -117,3 +117,35 @@ def test_multi_stage_batch_schedule(tmp_path):
     assert tr.epoch == 2
     assert len(hist["d_loss"]) == 2
     assert np.isfinite(hist["d_loss"]).all()
+
+
+def test_warm_start_from_saved_weights(tmp_path):
+    """Continue-training workflow: warm-start a new state from exported
+    weights (.npz here; .h5 path shares the same loaders tested in
+    test_api_and_io)."""
+    from prdisagg_tpu.models.io import save_params_npz
+    from prdisagg_tpu.train.state import warm_start
+
+    tcfg = TrainConfig(n_disc=1, seed=21)
+    state, gen, critic = create_train_state(SMALL_MODEL, tcfg)
+    gp = str(tmp_path / "gen.npz")
+    cp = str(tmp_path / "disc.npz")
+    save_params_npz(gp, state.gen_params)
+    save_params_npz(cp, state.critic_params)
+
+    ws, gen2, critic2 = warm_start(SMALL_MODEL, tcfg, gp, cp)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.gen_params),
+        jax.tree_util.tree_leaves(ws.gen_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # warm-started state trains
+    from prdisagg_tpu.train import make_train_step
+
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32, seed=22)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    step = make_train_step(gen2, critic2, SMALL_MODEL, tcfg, batch_size=4,
+                           donate=False)
+    _, m = step(ws, ds)
+    assert not bool(m["nonfinite"])
