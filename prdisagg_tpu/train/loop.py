@@ -112,38 +112,45 @@ class Trainer:
         return self.hist
 
     def _fit_stage(self, until_epoch: int, batch_size: int, progress: bool):
-        step_fn = make_train_step(
-            self.gen, self.critic, self.model_cfg, self.exp.train,
-            batch_size=batch_size, mesh=self.mesh,
-        )
         spe = self.steps_per_epoch
         if spe is None:
             spe = max(1, self.ds.n_samples // batch_size)
+        # one device dispatch per log interval: K fused steps scanned inside
+        # the jitted call (each host dispatch costs ~4 ms on the tunneled TPU)
+        k_steps = max(1, min(self.exp.train.log_every_steps, spe))
+        n_chunks = max(1, spe // k_steps)
+        steps_per_epoch = n_chunks * k_steps
+
+        step_fn = make_train_step(
+            self.gen, self.critic, self.model_cfg, self.exp.train,
+            batch_size=batch_size, mesh=self.mesh, steps_per_call=k_steps,
+        )
 
         while self.epoch < until_epoch:
             t0 = time.perf_counter()
-            for j in range(spe):
+            for j in range(n_chunks):
                 self.state, metrics = step_fn(self.state, self.ds)
-                if (j + 1) % self.exp.train.log_every_steps == 0 or j == spe - 1:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    if m["nonfinite"]:
-                        raise NaNLossError(
-                            f"non-finite loss at epoch {self.epoch + 1} step {j}: {m}"
-                        )
-                    for k in self.hist:
-                        self.hist[k].append(m[k])
-                    if progress:
-                        print(
-                            f"epoch {self.epoch + 1} {j + 1}/{spe} "
-                            f"d_loss {m['d_loss']:.4f} g:{m['g_loss']:.4f} "
-                            f"gp:{m['gp']:.4f}",
-                            flush=True,
-                        )
+                m = {k: float(v) for k, v in metrics.items()}
+                if m["nonfinite"]:
+                    raise NaNLossError(
+                        f"non-finite loss at epoch {self.epoch + 1} "
+                        f"chunk {j}: {m}"
+                    )
+                for k in self.hist:
+                    self.hist[k].append(m[k])
+                if progress:
+                    print(
+                        f"epoch {self.epoch + 1} {(j + 1) * k_steps}/"
+                        f"{steps_per_epoch} "
+                        f"d_loss {m['d_loss']:.4f} g:{m['g_loss']:.4f} "
+                        f"gp:{m['gp']:.4f}",
+                        flush=True,
+                    )
             self.epoch += 1
             dt = time.perf_counter() - t0
             if progress:
                 print(f"epoch {self.epoch} done in {dt:.1f}s "
-                      f"({spe / dt:.2f} fused steps/s)", flush=True)
+                      f"({steps_per_epoch / dt:.2f} fused steps/s)", flush=True)
             self._end_of_epoch()
 
     # ------------------------------------------------------------------

@@ -58,11 +58,17 @@ def make_train_step(
     batch_size: int,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    steps_per_call: int = 1,
 ):
     """Build the fused jitted train step: (state, ds) -> (state, metrics).
 
     metrics: dict with d_loss (reference-reported), d_loss_mean (over the
     n_disc updates), g_loss, gp, d_grad_norm, g_grad_norm, nonfinite flag.
+
+    steps_per_call > 1 wraps that many fused steps in one `lax.scan` —
+    one host dispatch per K steps (host-loop overhead on the tunneled TPU is
+    ~4 ms/dispatch); returned metrics are the last step's, with `nonfinite`
+    OR-ed over the whole chunk so the NaN guard still fires.
     """
     tx = make_optimizer(train_cfg)
     shard = _batch_sharder(mesh)
@@ -185,4 +191,16 @@ def make_train_step(
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    if steps_per_call <= 1:
+        return jax.jit(train_step, donate_argnums=donate_argnums)
+
+    def train_steps(state: GANTrainState, ds: DeviceDataset):
+        def body(s, _):
+            return train_step(s, ds)
+
+        state, ms = jax.lax.scan(body, state, None, length=steps_per_call)
+        metrics = {k: v[-1] for k, v in ms.items()}
+        metrics["nonfinite"] = jnp.any(ms["nonfinite"])
+        return state, metrics
+
+    return jax.jit(train_steps, donate_argnums=donate_argnums)
