@@ -28,7 +28,7 @@ from prdisagg_tpu.models.io import save_params_npz
 from prdisagg_tpu.parallel import make_mesh, replicate
 from prdisagg_tpu.train.checkpoint import CheckpointManager
 from prdisagg_tpu.train.state import GANTrainState, create_train_state
-from prdisagg_tpu.train.wgan_gp import make_train_step
+from prdisagg_tpu.train.wgan_gp import make_train_step, unpack_metrics
 
 
 class NaNLossError(RuntimeError):
@@ -130,7 +130,7 @@ class Trainer:
             t0 = time.perf_counter()
             for j in range(n_chunks):
                 self.state, metrics = step_fn(self.state, self.ds)
-                m = {k: float(v) for k, v in metrics.items()}
+                m = unpack_metrics(metrics["packed"])
                 if m["nonfinite"]:
                     raise NaNLossError(
                         f"non-finite loss at epoch {self.epoch + 1} "

@@ -31,6 +31,23 @@ from prdisagg_tpu.data.sampler import DeviceDataset
 from prdisagg_tpu.models import Critic, Generator
 from prdisagg_tpu.train.state import GANTrainState, make_optimizer
 
+# order of the scalar metrics in the packed vector (one host fetch instead of
+# seven — each fetch costs a full RTT on the tunneled TPU platform)
+METRIC_KEYS = (
+    "d_loss", "d_loss_mean", "gp", "w_distance",
+    "d_grad_norm", "g_loss", "g_grad_norm",
+)
+
+
+def unpack_metrics(packed) -> dict:
+    """Packed (8,) device vector -> python dict (single host transfer)."""
+    import numpy as np
+
+    vals = np.asarray(packed)
+    m = dict(zip(METRIC_KEYS, vals[:-1].tolist()))
+    m["nonfinite"] = bool(vals[-1])
+    return m
+
 
 def _batch_sharder(mesh: Optional[Mesh], axis: str = "data") -> Callable:
     """Returns a function constraining arrays to be batch-sharded on `mesh`.
@@ -179,6 +196,10 @@ def make_train_step(
             jnp.stack([jnp.isfinite(v) for v in metrics.values()])
         )
         metrics["nonfinite"] = ~finite
+        metrics["packed"] = jnp.stack(
+            [metrics[k] for k in METRIC_KEYS]
+            + [metrics["nonfinite"].astype(jnp.float32)]
+        )
 
         new_state = state.replace(
             step=state.step + 1,
@@ -201,6 +222,10 @@ def make_train_step(
         state, ms = jax.lax.scan(body, state, None, length=steps_per_call)
         metrics = {k: v[-1] for k, v in ms.items()}
         metrics["nonfinite"] = jnp.any(ms["nonfinite"])
+        metrics["packed"] = jnp.stack(
+            [metrics[k] for k in METRIC_KEYS]
+            + [metrics["nonfinite"].astype(jnp.float32)]
+        )
         return state, metrics
 
     return jax.jit(train_steps, donate_argnums=donate_argnums)
