@@ -193,6 +193,21 @@ def cmd_rainfarm_crps(args):
     print(f"rainfarm CRPS mean: {out.mean():.4f}")
 
 
+def cmd_crps_analyze(args):
+    """Standalone analysis of saved CRPS pickles — parity with
+    analyze_crps_results.py."""
+    from prdisagg_tpu.eval.crps import analyze
+
+    with open(args.results, "rb") as f:
+        gan, random_baseline = pickle.load(f)
+    rainfarm = None
+    if args.rainfarm:
+        with open(args.rainfarm, "rb") as f:
+            rainfarm = pickle.load(f)
+    res = analyze(gan, random_baseline, rainfarm, outdir=args.out)
+    print(res)
+
+
 def cmd_example(args):
     """Reference example.py: uniform 10 mm/day condition -> 10 scenarios."""
     from prdisagg_tpu.api import PretrainedGenerator
@@ -288,6 +303,13 @@ def build_parser():
     rcr.add_argument("--n-samples", type=int, default=10000)
     rcr.add_argument("--out", default="data")
     rcr.set_defaults(fn=cmd_rainfarm_crps)
+
+    ca = sub.add_parser("crps-analyze")
+    ca.add_argument("--results", required=True,
+                    help="crps_results_n_sample*.pkl (gan, random)")
+    ca.add_argument("--rainfarm", help="crps_results_rainfarm.pkl")
+    ca.add_argument("--out", default="data")
+    ca.set_defaults(fn=cmd_crps_analyze)
 
     ex = sub.add_parser("example")
     ex.add_argument("--weights")
