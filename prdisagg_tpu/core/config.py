@@ -144,12 +144,14 @@ class TrainConfig:
     # 'rbg' is ~17% faster per fused step on TPU v5e than the default
     # 'threefry2x32' (dropout-mask + latent generation cost); see utils/rng.py
     rng_impl: str = "rbg"
-    # Use the Pallas DMA patch gather inside the train step.  Measured on
-    # v5e: the Pallas kernel is 2.7x faster for bulk gathers (eval-scale,
-    # thousands of patches) but slightly slower for the 6 small per-step
-    # gathers (strip DMA reads whole rows), so training defaults to the XLA
-    # gather while bulk sampling paths default to Pallas.
-    pallas_gather: bool = False
+    # Pallas DMA patch gather inside the train step: True / False / None=auto.
+    # Measured on v5e: slightly slower than the XLA gather for the 6 small
+    # per-step gathers on small tensors, 2.7x faster for bulk gathers, and
+    # REQUIRED for multi-GB HBM datasets — XLA materializes a copy of the
+    # data operand per gather site (6x => OOM at 2.8 GB data; the Pallas DMA
+    # reads in place, 63 steps/s).  Auto picks Pallas when the device tensor
+    # exceeds 256 MB.
+    pallas_gather: Optional[bool] = None
     checkpoint_every_epochs: int = 1
     log_every_steps: int = 50
     # data-parallel mesh size; None = use all local devices

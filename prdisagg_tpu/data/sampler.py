@@ -96,12 +96,23 @@ class DeviceDataset:
             and self.data.shape[-1] % 128 == 0
         )
 
-    def _gather_patches(self, idx: jax.Array, allow_pallas: bool = True) -> jax.Array:
+    def _use_pallas(self, allow) -> bool:
+        """allow: True / False / None (auto).  Auto uses Pallas only for
+        large tensors — XLA's gather lowering materializes a copy of the
+        data operand per gather site, which OOMs HBM for multi-GB datasets,
+        while the Pallas DMA reads in place."""
+        if allow is False or not self._pallas_gather_ok():
+            return False
+        if allow is True:
+            return True
+        return self.data.size * self.data.dtype.itemsize > 256 * 1024 ** 2
+
+    def _gather_patches(self, idx: jax.Array, allow_pallas=None) -> jax.Array:
         """idx: (B, 3) int32 -> (B, nhours, nd, nd, 1) hourly mm patches."""
         nd = self.cfg.ndomain
         nh = self.cfg.nhours
 
-        if allow_pallas and self._pallas_gather_ok():
+        if self._use_pallas(allow_pallas):
             from prdisagg_tpu.ops.pallas_gather import gather_patches_pallas
 
             return gather_patches_pallas(self.data, idx, nd)[..., None]
@@ -137,7 +148,7 @@ class DeviceDataset:
         return extras
 
     def sample_patches_raw(
-        self, key: jax.Array, n_batch: int, allow_pallas: bool = True
+        self, key: jax.Array, n_batch: int, allow_pallas=None
     ) -> jax.Array:
         """Random raw hourly-mm patches (B, nh, nd, nd) — no fraction
         transform; used by RainFARM calibration
@@ -146,7 +157,7 @@ class DeviceDataset:
         return self._gather_patches(self.indices[ix], allow_pallas)[..., 0]
 
     def sample_real(self, key: jax.Array, n_batch: int,
-                    allow_pallas: bool = True):
+                    allow_pallas=None):
         """Random (fractions, condition) batch — reference
         `generate_real_samples` semantics (gan_train_cwgangp_pixelnorm.py:143-174).
 
@@ -166,14 +177,14 @@ class DeviceDataset:
         return frac, cond
 
     def sample_cond(self, key: jax.Array, n_batch: int,
-                    allow_pallas: bool = True) -> jax.Array:
+                    allow_pallas=None) -> jax.Array:
         """Random conditions only — reference `generate_latent_points`'s
         condition half (gan_train_cwgangp_pixelnorm.py:177-193)."""
         _, cond = self.sample_real(key, n_batch, allow_pallas)
         return cond
 
     def sample_latent(self, key: jax.Array, n_batch: int, latent_dim: int,
-                      allow_pallas: bool = True):
+                      allow_pallas=None):
         """(latent, cond) pair for generator updates."""
         k_lat, k_cond = jax.random.split(key)
         latent = jax.random.normal(k_lat, (n_batch, latent_dim))

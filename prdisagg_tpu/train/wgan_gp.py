@@ -93,8 +93,11 @@ def make_train_step(
     gp_weight = train_cfg.gp_weight
     latent_dim = model_cfg.latent_dim
     # the Pallas DMA gather has no SPMD sharding rule (single-device only);
-    # see TrainConfig.pallas_gather for the measured train-step tradeoff
-    allow_pallas = train_cfg.pallas_gather and (mesh is None or mesh.size == 1)
+    # None = auto by data size (see TrainConfig.pallas_gather)
+    if mesh is not None and mesh.size > 1:
+        allow_pallas = False
+    else:
+        allow_pallas = train_cfg.pallas_gather
 
     def critic_loss_fn(critic_params, gen_params, ds: DeviceDataset, key):
         k_real, k_lat, k_eps, k_d1, k_d3 = jax.random.split(key, 5)
