@@ -29,44 +29,47 @@ def crps_gan(
     n_members: int = 1000,
     seed: int = 354,
     norm_scale: float = 127.4,
-    chunk: int = 8,
+    member_batch: int = 250,
 ) -> np.ndarray:
     """reals_precip: (n, 24, nd, nd) mm/h test fields.
     Returns area-mean CRPS (n, 24).
 
     The reference loops 10,000 single-sample 1000-member predicts
-    (generate_and_evaluate_crps.py:177-195); here samples are scored in
-    vmapped chunks — one device dispatch per `chunk` samples.
+    (generate_and_evaluate_crps.py:177-195); here each sample is one jitted
+    call that builds its ensemble in `member_batch` generator sub-batches via
+    `lax.map` — big enough to fill the MXU, small enough that the folded-conv
+    activations (~4.5 MB/sample) fit HBM.
     """
     latent_dim = generator.cfg.latent_dim
+    mb = min(member_batch, n_members)
+    if n_members % mb != 0:
+        raise ValueError(f"n_members {n_members} not divisible by {mb}")
 
-    def score_one(real, dsum, latent):
+    def score_one(real, dsum, latents):
         cond = (dsum / norm_scale)[None, ..., None]
-        cond_b = jnp.broadcast_to(cond, (n_members, *cond.shape[1:]))
-        frac = generator._gen.apply(generator.params, latent, cond_b)[..., 0]
-        ens = frac * dsum[None, None]
+
+        def gen_chunk(lat):
+            cond_b = jnp.broadcast_to(cond, (mb, *cond.shape[1:]))
+            frac = generator._gen.apply(generator.params, lat, cond_b)[..., 0]
+            return frac * dsum[None, None]
+
+        ens = jax.lax.map(
+            gen_chunk, latents.reshape(n_members // mb, mb, latent_dim)
+        ).reshape(n_members, *real.shape)
         crps = crps_ensemble(real, ens)
         return jnp.mean(crps, axis=(1, 2))
 
-    score_chunk = jax.jit(jax.vmap(score_one))
+    score = jax.jit(score_one)
 
     reals_j = jnp.asarray(reals_precip)
     dsums = jnp.sum(reals_j, axis=1)  # (n, nd, nd) mm
-    n = len(reals_precip)
     key = jax.random.PRNGKey(seed)
     out = []
-    for i0 in range(0, n, chunk):
-        c = min(chunk, n - i0)
+    for i in range(len(reals_precip)):
         key, sub = jax.random.split(key)
-        latent = jax.random.normal(sub, (chunk, n_members, latent_dim))
-        r = reals_j[i0 : i0 + c]
-        d = dsums[i0 : i0 + c]
-        if c < chunk:  # pad the tail so the jitted chunk shape is reused
-            r = jnp.concatenate([r, jnp.ones((chunk - c, *r.shape[1:]))])
-            d = jnp.concatenate([d, jnp.ones((chunk - c, *d.shape[1:]))])
-        res = score_chunk(r, d, latent)
-        out.append(np.asarray(res[:c]))
-    return np.concatenate(out)
+        latents = jax.random.normal(sub, (n_members, latent_dim))
+        out.append(np.asarray(score(reals_j[i], dsums[i], latents)))
+    return np.stack(out)
 
 
 def crps_random_baseline(

@@ -43,10 +43,12 @@ def crps_ensemble(observation: jax.Array, forecasts: jax.Array) -> jax.Array:
     """
     m = forecasts.shape[0]
     term1 = jnp.mean(jnp.abs(forecasts - observation[None]), axis=0)
-    xs = jnp.sort(forecasts, axis=0)
+    # sort along the trailing (lane) axis — far faster on TPU than a
+    # leading-axis sort of the same data
+    xs = jnp.sort(jnp.moveaxis(forecasts, 0, -1), axis=-1)
     k = jnp.arange(m, dtype=forecasts.dtype)
     w = (2.0 * k - m + 1.0)
-    spread = jnp.tensordot(w, xs, axes=(0, 0)) / (m * m)
+    spread = jnp.tensordot(xs, w, axes=(-1, 0)) / (m * m)
     return term1 - spread
 
 
