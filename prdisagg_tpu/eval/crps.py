@@ -45,12 +45,14 @@ def crps_gan(
     if n_members % mb != 0:
         raise ValueError(f"n_members {n_members} not divisible by {mb}")
 
-    def score_one(real, dsum, latents):
+    def score_one(params, real, dsum, latents):
+        # params is an explicit argument — closing over it would embed ~80 MB
+        # of weights as program constants in the (remote) compile request
         cond = (dsum / norm_scale)[None, ..., None]
 
         def gen_chunk(lat):
             cond_b = jnp.broadcast_to(cond, (mb, *cond.shape[1:]))
-            frac = generator._gen.apply(generator.params, lat, cond_b)[..., 0]
+            frac = generator._gen.apply(params, lat, cond_b)[..., 0]
             return frac * dsum[None, None]
 
         ens = jax.lax.map(
@@ -68,7 +70,9 @@ def crps_gan(
     for i in range(len(reals_precip)):
         key, sub = jax.random.split(key)
         latents = jax.random.normal(sub, (n_members, latent_dim))
-        out.append(np.asarray(score(reals_j[i], dsums[i], latents)))
+        out.append(np.asarray(
+            score(generator.params, reals_j[i], dsums[i], latents)
+        ))
     return np.stack(out)
 
 
@@ -76,11 +80,16 @@ def crps_random_baseline(
     reals_precip: np.ndarray, baseline_patches: np.ndarray, chunk: int = 64
 ) -> np.ndarray:
     """Score a fixed real-patch ensemble against every sample
-    (generate_and_evaluate_crps.py:193-195). Returns (n, 24)."""
+    (generate_and_evaluate_crps.py:193-195). Returns (n, 24).
+
+    The ensemble is an explicit jit ARGUMENT: a closed-over device array
+    would be embedded as a program constant and shipped with the (remote)
+    compile request — hundreds of MB through the tunnel.
+    """
     ens = jnp.asarray(baseline_patches)  # (M, 24, nd, nd)
 
     @jax.jit
-    def score(real_chunk):
+    def score(real_chunk, ens):
         def one(real):
             return jnp.mean(crps_ensemble(real, ens), axis=(1, 2))
         return jax.vmap(one)(real_chunk)
@@ -88,7 +97,7 @@ def crps_random_baseline(
     out = []
     reals_j = jnp.asarray(reals_precip)
     for i0 in range(0, len(reals_precip), chunk):
-        out.append(np.asarray(score(reals_j[i0 : i0 + chunk])))
+        out.append(np.asarray(score(reals_j[i0 : i0 + chunk], ens)))
     return np.concatenate(out)
 
 
