@@ -29,7 +29,7 @@ def crps_gan(
     n_members: int = 1000,
     seed: int = 354,
     norm_scale: float = 127.4,
-    member_batch: int = 250,
+    member_batch: int = 500,
 ) -> np.ndarray:
     """reals_precip: (n, 24, nd, nd) mm/h test fields.
     Returns area-mean CRPS (n, 24).
