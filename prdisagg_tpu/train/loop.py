@@ -45,6 +45,7 @@ class Trainer:
         use_mesh: bool = True,
         steps_per_epoch: Optional[int] = None,
         plot_every_epochs: int = 1,
+        export_weights_every_epochs: int = 1,
         on_epoch_end: Optional[Callable] = None,
     ):
         self.exp = exp
@@ -57,6 +58,10 @@ class Trainer:
         os.makedirs(self.outdir, exist_ok=True)
         self.steps_per_epoch = steps_per_epoch
         self.plot_every_epochs = plot_every_epochs
+        # per-epoch .npz exports are reference parity but cost ~8 s/epoch of
+        # host I/O (two ~80 MB files); raise this for throughput runs — the
+        # Orbax checkpoint still provides exact resume
+        self.export_weights_every_epochs = export_weights_every_epochs
         self.on_epoch_end = on_epoch_end
 
         n_dev = exp.train.n_data_devices
@@ -159,14 +164,15 @@ class Trainer:
         if e % self.exp.train.checkpoint_every_epochs == 0:
             self.ckpt.save(e, self.state)
         # reference-style weight exports with params-string names
-        save_params_npz(
-            os.path.join(self.outdir, f"gen_{self.params_str}_{e:04d}.npz"),
-            jax.device_get(self.state.gen_params),
-        )
-        save_params_npz(
-            os.path.join(self.outdir, f"disc_{self.params_str}_{e:04d}.npz"),
-            jax.device_get(self.state.critic_params),
-        )
+        if e % self.export_weights_every_epochs == 0:
+            save_params_npz(
+                os.path.join(self.outdir, f"gen_{self.params_str}_{e:04d}.npz"),
+                jax.device_get(self.state.gen_params),
+            )
+            save_params_npz(
+                os.path.join(self.outdir, f"disc_{self.params_str}_{e:04d}.npz"),
+                jax.device_get(self.state.critic_params),
+            )
         self._write_hist()
         if self.plot_every_epochs and e % self.plot_every_epochs == 0:
             self._plot_epoch(e)
