@@ -149,3 +149,21 @@ def test_warm_start_from_saved_weights(tmp_path):
                            donate=False)
     _, m = step(ws, ds)
     assert not bool(m["nonfinite"])
+
+
+def test_nan_abort_raises(tmp_path):
+    """Injected NaN data must trip the on-device finite check and raise
+    NaNLossError (reference abort: gan_train_cwgangp_pixelnorm.py:487-488)."""
+    import pytest
+
+    from prdisagg_tpu.train.loop import NaNLossError
+
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32, seed=30)
+    data = data.copy()
+    data[:] = np.nan  # poison everything; valid indices now point at NaN
+    exp = _tiny_exp()
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    tr = Trainer(exp, ds, workdir=str(tmp_path), use_mesh=False,
+                 steps_per_epoch=1, plot_every_epochs=0)
+    with pytest.raises(NaNLossError):
+        tr.fit(progress=False)
