@@ -70,6 +70,96 @@ def generate_for_daily_sums(
     return np.asarray(out)
 
 
+def generate_and_plot(
+    reals: np.ndarray,
+    alpha: float,
+    beta: float,
+    cfg: RainFarmConfig,
+    plotdir: str = "plots_generated_rainfarm",
+    datadir: str = "data",
+    n_map_conditions: int = 20,
+    n_fake_per_real: int = 10,
+    seed: int = 0,
+) -> np.ndarray:
+    """RainFARM generation evaluation artifacts (rainfarm_generate.py:30-156).
+
+    Produces, under `plotdir` (artifact-name parity with the reference's
+    plots_generated_rainfarm/):
+      * ecdf_allx_rainfarm.png / ecdf_rainfarm.png — two-panel ECDFs of the
+        hourly area means and the flattened fields, full-range and zoomed;
+      * generated_precip_rainfarm_{i:04d}_allhours.png and
+        generated_precip_rainfarm_{i:04d}.png (every 3rd hour) — map grids of
+        one real day vs `n_fake_per_real` RainFARM realizations;
+    and saves one realization per real day as
+    `datadir`/generated_samples_rainfarm.npy (rainfarm_generate.py:25).
+
+    reals: (n, nhours, ny, nx) mm/h hourly fields. Returns the generated
+    (n, nhours, ny, nx) array.
+    """
+    import matplotlib.pyplot as plt
+    import seaborn as sns
+
+    from prdisagg_tpu.ops.stats import ecdf
+    from prdisagg_tpu.utils.plotting import close_all, map_comparison_grid
+
+    os.makedirs(plotdir, exist_ok=True)
+    os.makedirs(datadir, exist_ok=True)
+    reals = np.asarray(reals)
+    dsums = reals.sum(axis=1)
+
+    generated = generate_for_daily_sums(dsums, alpha, beta, cfg, seed=seed)
+    np.save(os.path.join(datadir, "generated_samples_rainfarm.npy"), generated)
+
+    # two-panel ECDFs, full-range then zoomed (rainfarm_generate.py:38-65)
+    sns.set_palette("colorblind")
+    plt.figure()
+    ax1 = plt.subplot(211)
+    plt.plot(*ecdf(generated.mean(axis=(2, 3))), label="gen")
+    plt.plot(*ecdf(reals.mean(axis=(2, 3))), label="real")
+    plt.legend(loc="upper left")
+    sns.despine()
+    plt.xlabel("mm/h")
+    plt.ylabel("ecdf areamean")
+    plt.semilogx()
+    ax2 = plt.subplot(212)
+    plt.plot(*ecdf(generated), label="gen")
+    plt.plot(*ecdf(reals), label="real")
+    plt.legend(loc="upper left")
+    sns.despine()
+    plt.ylabel("ecdf")
+    plt.xlabel("mm/h")
+    plt.semilogx()
+    plt.tight_layout()
+    plt.savefig(os.path.join(plotdir, "ecdf_allx_rainfarm.png"), dpi=200)
+    ax1.set_xlim(xmin=0.5)
+    ax1.set_ylim(ymin=0.8, ymax=1.01)
+    ax2.set_xlim(xmin=0.1)
+    ax2.set_ylim(ymin=0.6, ymax=1.01)
+    plt.savefig(os.path.join(plotdir, "ecdf_rainfarm.png"), dpi=200)
+    close_all()
+
+    # per-condition map grids: real hours vs n_fake_per_real realizations
+    # (rainfarm_generate.py:71-156; gist_earth_r + LogNorm(0.01, 50))
+    n_map = min(n_map_conditions, len(reals))
+    key = jax.random.PRNGKey(seed + 1)
+    for i in range(n_map):
+        key, sub = jax.random.split(key)
+        ens = np.asarray(jax.vmap(
+            lambda k: downscale_spatiotemporal(
+                jnp.asarray(dsums[i]), alpha, beta, cfg.ds_t_factor, k)
+        )(jax.random.split(sub, n_fake_per_real)))
+        for every, suffix in ((1, "_allhours"), (3, "")):
+            fig = map_comparison_grid(
+                reals[i], ens, dsums[i], fractions=False, every=every,
+            )
+            fig.savefig(os.path.join(
+                plotdir,
+                f"generated_precip_rainfarm_{i + 1:04d}{suffix}.png",
+            ))
+            close_all()
+    return generated
+
+
 def crps_rainfarm(
     reals: np.ndarray,
     alpha: float,

@@ -193,6 +193,26 @@ def cmd_rainfarm_crps(args):
     print(f"rainfarm CRPS mean: {out.mean():.4f}")
 
 
+def cmd_rainfarm_generate(args):
+    """RainFARM generation evaluation artifacts — parity with
+    rainfarm_generate.py (ECDFs + per-condition map grids)."""
+    from prdisagg_tpu.baselines.rainfarm.pipeline import generate_and_plot
+    from prdisagg_tpu.core.config import RainFarmConfig
+
+    with open(args.slopes, "rb") as f:
+        alpha, beta = pickle.load(f)
+    reals = np.load(args.real)[: args.n_samples]
+    if reals.ndim == 5:
+        reals = reals[..., 0]
+    generated = generate_and_plot(
+        reals, alpha, beta, RainFarmConfig(),
+        plotdir=args.plotdir, datadir=args.out,
+        n_map_conditions=args.n_map_conditions,
+        n_fake_per_real=args.n_fake_per_real, seed=args.seed,
+    )
+    print(f"generated {generated.shape} -> {args.out}; plots in {args.plotdir}")
+
+
 def cmd_crps_analyze(args):
     """Standalone analysis of saved CRPS pickles — parity with
     analyze_crps_results.py."""
@@ -303,6 +323,17 @@ def build_parser():
     rcr.add_argument("--n-samples", type=int, default=10000)
     rcr.add_argument("--out", default="data")
     rcr.set_defaults(fn=cmd_rainfarm_crps)
+
+    rg = sub.add_parser("rainfarm-generate")
+    rg.add_argument("--slopes", required=True, help="spectral_slopes_0.pkl")
+    rg.add_argument("--real", required=True, help="real_samples.npy")
+    rg.add_argument("--n-samples", type=int, default=10000)
+    rg.add_argument("--n-map-conditions", type=int, default=20)
+    rg.add_argument("--n-fake-per-real", type=int, default=10)
+    rg.add_argument("--seed", type=int, default=0)
+    rg.add_argument("--out", default="data")
+    rg.add_argument("--plotdir", default="plots_generated_rainfarm")
+    rg.set_defaults(fn=cmd_rainfarm_generate)
 
     ca = sub.add_parser("crps-analyze")
     ca.add_argument("--results", required=True,

@@ -41,3 +41,24 @@ def test_cli_example(tmp_path):
     out = str(tmp_path / "scen.png")
     main(["example", "--n-scenarios", "2", "--out", out])
     assert os.path.exists(out)
+
+
+def test_cli_rainfarm_generate(tmp_path):
+    rng = np.random.RandomState(5)
+    reals = rng.gamma(2.0, 1.0, size=(2, 24, 16, 16)).astype(np.float32)
+    rpath = str(tmp_path / "real_samples.npy")
+    np.save(rpath, reals)
+    spath = str(tmp_path / "spectral_slopes_0.pkl")
+    with open(spath, "wb") as f:
+        pickle.dump((1.5, 0.9), f)
+    plotdir = str(tmp_path / "plots_generated_rainfarm")
+    main([
+        "rainfarm-generate", "--slopes", spath, "--real", rpath,
+        "--n-map-conditions", "1", "--n-fake-per-real", "2",
+        "--out", str(tmp_path / "data"), "--plotdir", plotdir,
+    ])
+    assert os.path.exists(os.path.join(plotdir, "ecdf_rainfarm.png"))
+    assert os.path.exists(
+        os.path.join(plotdir, "generated_precip_rainfarm_0001_allhours.png"))
+    assert os.path.exists(
+        str(tmp_path / "data" / "generated_samples_rainfarm.npy"))

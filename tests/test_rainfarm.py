@@ -158,3 +158,35 @@ def test_spatial_downscale():
     assert np.all(np.isfinite(r)) and r.min() >= 0
     # global mean approximately conserved by the tophat rescale
     assert abs(r.mean() / p.mean() - 1.0) < 0.1
+
+
+def test_generate_and_plot_artifacts(tmp_path):
+    """rainfarm_generate.py parity: ECDF + map-grid artifact names
+    (VERDICT round-2 item 6)."""
+    import os
+
+    from prdisagg_tpu.baselines.rainfarm.pipeline import generate_and_plot
+
+    rng = np.random.RandomState(3)
+    reals = rng.gamma(2.0, 1.0, size=(3, 24, 16, 16)).astype(np.float32)
+    plotdir = str(tmp_path / "plots_generated_rainfarm")
+    datadir = str(tmp_path / "data")
+    generated = generate_and_plot(
+        reals, 1.5, 0.9, RainFarmConfig(), plotdir=plotdir, datadir=datadir,
+        n_map_conditions=2, n_fake_per_real=2, seed=0,
+    )
+    assert generated.shape == reals.shape
+    # conservation: per-gridpoint time sum equals the daily field
+    np.testing.assert_allclose(
+        generated.sum(axis=1), reals.sum(axis=1), rtol=1e-3, atol=1e-3
+    )
+    for name in (
+        "ecdf_allx_rainfarm.png",
+        "ecdf_rainfarm.png",
+        "generated_precip_rainfarm_0001_allhours.png",
+        "generated_precip_rainfarm_0001.png",
+        "generated_precip_rainfarm_0002_allhours.png",
+        "generated_precip_rainfarm_0002.png",
+    ):
+        assert os.path.exists(os.path.join(plotdir, name)), name
+    assert os.path.exists(os.path.join(datadir, "generated_samples_rainfarm.npy"))
