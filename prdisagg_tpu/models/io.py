@@ -104,6 +104,86 @@ def _as_param(w):
     return {"kernel": jnp.asarray(w["kernel"]), "bias": jnp.asarray(w["bias"])}
 
 
+# ---------------------------------------------------------------------------
+# Keras .h5 export (reference ecosystem contract: readme.md:73 — the published
+# weights are Keras .h5; the reference writes them per epoch at
+# gan_train_cwgangp_pixelnorm.py:520-521)
+# ---------------------------------------------------------------------------
+#
+# Both reference models wrap every weighted layer in a nested
+# tf.keras.Sequential named "sequential" (gan_train_cwgangp_pixelnorm.py:
+# 284-305 critic, 325-352 generator), so a real TF-2.1 `model.save()` puts the
+# weights at  model_weights/sequential/<layer>/<weight>:0  with the layer list
+# in the `layer_names` attr and per-group `weight_names` attrs.  We emulate
+# that layout with h5py directly — no TF dependency.
+
+_KERAS_VERSION = b"2.2.4-tf"  # the keras version string TF 2.1.0 writes
+_GEN_TOP_LAYERS = [b"input_1", b"input_2", b"flatten", b"concatenate",
+                   b"sequential"]
+_CRITIC_TOP_LAYERS = [b"input_1", b"reshape", b"lambda", b"input_2",
+                      b"concatenate", b"sequential"]
+
+
+def _keras_name_pairs_generator(cfg: ModelConfig):
+    """[(flax param name, keras layer name), ...] in Keras creation order."""
+    pairs = [("latent_proj", "dense")]
+    for i in range(len(cfg.gen_channels)):
+        pairs.append((f"conv{i}", "conv3d" if i == 0 else f"conv3d_{i}"))
+    pairs.append(("head", f"conv3d_{len(cfg.gen_channels)}"))
+    return pairs
+
+
+def _keras_name_pairs_critic(cfg: ModelConfig):
+    pairs = []
+    for i in range(len(cfg.critic_channels)):
+        pairs.append((f"conv{i}", "conv3d" if i == 0 else f"conv3d_{i}"))
+    pairs.append(("score", "dense"))
+    return pairs
+
+
+def _write_keras_h5(path: str, params, pairs, top_layers) -> None:
+    import h5py
+
+    if "params" in params and isinstance(params["params"], dict):
+        params = params["params"]
+
+    with h5py.File(path, "w") as f:
+        f.attrs["keras_version"] = _KERAS_VERSION
+        f.attrs["backend"] = b"tensorflow"
+        mw = f.create_group("model_weights")
+        mw.attrs["layer_names"] = np.array(top_layers, dtype="S")
+        mw.attrs["backend"] = b"tensorflow"
+        mw.attrs["keras_version"] = _KERAS_VERSION
+        for name in top_layers:
+            g = mw.create_group(name.decode())
+            if name != b"sequential":
+                g.attrs["weight_names"] = np.array([], dtype="S1")
+        seq = mw["sequential"]
+        weight_names = []
+        for flax_name, keras_name in pairs:
+            layer = params[flax_name]
+            for wname in ("kernel", "bias"):
+                full = f"{keras_name}/{wname}:0"
+                weight_names.append(full.encode())
+                seq.create_dataset(
+                    full, data=np.asarray(layer[wname], dtype=np.float32)
+                )
+        seq.attrs["weight_names"] = np.array(weight_names, dtype="S")
+
+
+def save_keras_generator_h5(path: str, params, cfg: ModelConfig) -> None:
+    """Flax Generator params -> reference-layout Keras .h5
+    (round-trips through :func:`load_keras_generator_h5`)."""
+    _write_keras_h5(path, params, _keras_name_pairs_generator(cfg),
+                    _GEN_TOP_LAYERS)
+
+
+def save_keras_critic_h5(path: str, params, cfg: ModelConfig) -> None:
+    """Flax Critic params -> reference-layout Keras .h5."""
+    _write_keras_h5(path, params, _keras_name_pairs_critic(cfg),
+                    _CRITIC_TOP_LAYERS)
+
+
 def load_keras_generator_h5(path: str, cfg: ModelConfig):
     """Reference generator .h5 -> Flax Generator params pytree."""
     layers = _collect_keras_layers(path)

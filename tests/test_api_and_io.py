@@ -11,6 +11,8 @@ from prdisagg_tpu.models.io import (
     load_keras_critic_h5,
     load_keras_generator_h5,
     load_params_npz,
+    save_keras_critic_h5,
+    save_keras_generator_h5,
     save_params_npz,
 )
 from prdisagg_tpu.train import create_train_state
@@ -92,6 +94,65 @@ def test_keras_h5_critic_import(tmp_path):
     params = load_keras_critic_h5(p, cfg)["params"]
     assert np.asarray(params["conv3"]["kernel"]).shape == (3, 3, 3, 256, 256)
     assert np.asarray(params["score"]["kernel"]).shape == (512, 1)
+
+
+def _assert_trees_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_keras_h5_generator_export_roundtrip(tmp_path):
+    """save_keras_generator_h5 -> load_keras_generator_h5 is the identity
+    (VERDICT round-2 item 7; reference contract
+    gan_train_cwgangp_pixelnorm.py:520-521)."""
+    state, _, _ = create_train_state(TINY, TrainConfig())
+    p = str(tmp_path / "gen.h5")
+    save_keras_generator_h5(p, state.gen_params, TINY)
+    loaded = load_keras_generator_h5(p, TINY)
+    _assert_trees_equal(state.gen_params, loaded)
+
+
+def test_keras_h5_critic_export_roundtrip(tmp_path):
+    state, _, _ = create_train_state(TINY, TrainConfig())
+    p = str(tmp_path / "disc.h5")
+    save_keras_critic_h5(p, state.critic_params, TINY)
+    loaded = load_keras_critic_h5(p, TINY)
+    _assert_trees_equal(state.critic_params, loaded)
+
+
+def test_keras_h5_export_group_structure(tmp_path):
+    """The exported file must emulate TF-2.1 Keras `model.save` nesting:
+    model_weights/<layer>/... groups, layer_names / weight_names attrs
+    (the reference nets nest all weighted layers in a Sequential,
+    gan_train_cwgangp_pixelnorm.py:284-305,325-352)."""
+    state, _, _ = create_train_state(TINY, TrainConfig())
+    p = str(tmp_path / "gen.h5")
+    save_keras_generator_h5(p, state.gen_params, TINY)
+    with h5py.File(p, "r") as f:
+        backend = f.attrs["backend"]
+        if isinstance(backend, bytes):
+            backend = backend.decode()
+        assert backend == "tensorflow"
+        assert "keras_version" in f.attrs
+        mw = f["model_weights"]
+        layer_names = list(mw.attrs["layer_names"])
+        assert b"sequential" in layer_names
+        # every listed layer has a group
+        for name in layer_names:
+            assert name.decode() in mw
+        seq = mw["sequential"]
+        wn = [n.decode() for n in seq.attrs["weight_names"]]
+        # Keras creation order: dense first, then conv3d .. conv3d_3,
+        # kernel before bias
+        assert wn[0] == "dense/kernel:0" and wn[1] == "dense/bias:0"
+        assert wn[2] == "conv3d/kernel:0"
+        assert wn[-2] == "conv3d_3/kernel:0" and wn[-1] == "conv3d_3/bias:0"
+        for name in wn:
+            assert name in seq, name
+            assert seq[name].dtype == np.float32
 
 
 def test_generate_scenarios_semantics():
