@@ -182,6 +182,10 @@ class EvalConfig:
     n_crps_members: int = 1000
     n_lsd_samples: int = 1000
     plot_format: str = "png"
+    # colormap of the 0..1 fraction panels in the map grids: the base eval
+    # uses Greys (generate_and_evaluate.py:243), the large-domain variant
+    # magma_r (generate_and_evaluate_largedomain.py:237)
+    fraction_cmap: str = "Greys"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -221,6 +225,9 @@ def large_domain_experiment() -> ExperimentConfig:
     (alternative_domains/gan_train_cwgangp_pixelnorm_largedomain.py:59,65)."""
     return ExperimentConfig(
         data=DataConfig(ndomain=64, n_thresh=40),
+        # evaluated at epoch 8 with 15 fakes per real and the magma_r
+        # fraction colormap (generate_and_evaluate_largedomain.py:51,205,237)
+        eval=EvalConfig(epoch=8, n_fake_per_real=15, fraction_cmap="magma_r"),
         name="wgancp_pixelnorm_largedomain",
     )
 

@@ -112,6 +112,7 @@ class Evaluator:
                         fig = plotting.map_comparison_grid(
                             fields_r, fields_g, dsum, fractions=fractions,
                             every=every,
+                            fraction_cmap=self.cfg.fraction_cmap,
                         )
                         fig.savefig(os.path.join(
                             self.plotdir,

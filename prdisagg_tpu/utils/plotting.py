@@ -61,10 +61,14 @@ def map_comparison_grid(
     dsum: np.ndarray,
     fractions: bool,
     every: int = 1,
+    fraction_cmap: str = "Greys",
 ):
     """Eval map grid: row 0 = real hours, rows 1.. = generated realizations;
     column 0 always the daily-sum condition.  `fractions` picks the 0..1
-    grayscale style, else mm LogNorm (generate_and_evaluate.py:230-303)."""
+    style with `fraction_cmap` (Greys in the base eval,
+    generate_and_evaluate.py:243; magma_r in the large-domain variant,
+    generate_and_evaluate_largedomain.py:237), else mm LogNorm
+    (generate_and_evaluate.py:230-303)."""
     real = np.asarray(real)
     generated = np.asarray(generated)
     hours = list(range(every - 1, 24, every))
@@ -74,7 +78,7 @@ def map_comparison_grid(
 
     def show(ax, img):
         if fractions:
-            ax.imshow(img, vmin=0, vmax=1, cmap="Greys")
+            ax.imshow(img, vmin=0, vmax=1, cmap=fraction_cmap)
         else:
             ax.imshow(img, cmap=COND_CMAP, norm=LogNorm(**PRECIP_NORM))
         ax.axis("off")

@@ -44,6 +44,41 @@ def test_trainer_uses_data_mesh(tmp_path):
     assert np.isfinite(hist["d_loss"]).all()
 
 
+def test_large_domain_eval_preset(tmp_path):
+    """The 64x64 variant evaluates at epoch 8 with 15 fakes/real and the
+    magma_r fraction colormap (generate_and_evaluate_largedomain.py:51,205,
+    237); artifact names must carry the epoch-8 stamp."""
+    import dataclasses
+    import glob
+    import os
+
+    from prdisagg_tpu.core.config import large_domain_experiment
+
+    exp = large_domain_experiment()
+    assert exp.eval.epoch == 8
+    assert exp.eval.n_fake_per_real == 15
+    assert exp.eval.fraction_cmap == "magma_r"
+    assert exp.data.ndomain == 64 and exp.data.n_thresh == 40
+
+    tiny64 = ModelConfig(
+        ndomain=64, latent_dim=8,
+        gen_channels=(8, 8, 8), base_channels=8, critic_channels=(8, 8, 8, 8),
+    )
+    exp = dataclasses.replace(exp, model_override=tiny64)
+    data, indices, _ = make_synthetic_dataset(
+        n_days=3, ny=96, nx=96, seed=11, cfg=exp.data
+    )
+    ds = DeviceDataset.from_numpy(data, indices, exp.data)
+    state, _, _ = create_train_state(tiny64, TrainConfig(seed=12))
+    pg = PretrainedGenerator(state.gen_params, tiny64, seed=354)
+    ev = Evaluator(exp, ds, pg, workdir=str(tmp_path))
+    ev.map_grids(n_conditions=1, n_fake_per_real=2)
+    pngs = glob.glob(os.path.join(
+        ev.plotdir, "generated_fractions_*_0008_0001_allhours.png"))
+    assert len(pngs) == 1
+    assert "ndomain64" in os.path.basename(pngs[0])
+
+
 def test_evaluator_with_doy_conditioning(tmp_path):
     data, indices, _ = make_synthetic_dataset(n_days=4, ny=32, nx=32, seed=8)
     dcfg = DataConfig(conditioning=Conditioning.DOY)
