@@ -67,6 +67,61 @@ def test_loss_decreases_over_steps(small_setup):
     assert len(set(np.round(losses, 6))) > 1
 
 
+def test_fused_step_metrics_match_external_computation(small_setup):
+    """Pin the PRODUCTION loss path: replay the fused step's exact RNG
+    splits outside the step (matched dropout masks) and assert the reported
+    `gp` and `d_loss` metrics equal the externally computed values
+    (VERDICT round-2 item 9; reference loss semantics
+    gan_train_cwgangp_pixelnorm.py:376-392,475)."""
+    ds, state, gen, critic, model_cfg, _ = small_setup
+    train_cfg = TrainConfig(n_disc=1, seed=0)  # one critic update => the
+    # reported metrics come from the update on the UNMODIFIED initial params
+    B = 4
+    step = make_train_step(gen, critic, model_cfg, train_cfg, batch_size=B,
+                           donate=False)
+    _, metrics = step(state, ds)
+
+    # --- external replay of critic_loss_fn's RNG tree -------------------
+    _, _, k_disc0 = jax.random.split(state.key, 3)  # n_disc + 2 keys
+    k_real, k_lat, k_eps, k_d1, k_d3 = jax.random.split(k_disc0, 5)
+
+    frac_real, cond = ds.sample_real(k_real, B, None)
+    latent = jax.random.normal(k_lat, (B, model_cfg.latent_dim))
+    fake = gen.apply(state.gen_params, latent, cond)
+
+    scores = critic.apply(
+        state.critic_params,
+        jnp.concatenate([frac_real, fake], axis=0),
+        jnp.concatenate([cond, cond], axis=0),
+        deterministic=False,
+        rngs={"dropout": k_d1},
+    )
+    loss_valid = float(jnp.mean(-scores[:B]))
+    loss_fake = float(jnp.mean(scores[B:]))
+
+    eps = jax.random.uniform(k_eps, (B, 1, 1, 1, 1))
+    interp = eps * frac_real + (1.0 - eps) * fake
+
+    def critic_sum(x):
+        return jnp.sum(critic.apply(
+            state.critic_params, x, cond, deterministic=False,
+            rngs={"dropout": k_d3},
+        ))
+
+    g = jax.grad(critic_sum)(interp)
+    norms = jnp.sqrt(jnp.sum(g.reshape(B, -1) ** 2, axis=1) + 1e-12)
+    gp_external = float(jnp.mean((norms - 1.0) ** 2))
+
+    np.testing.assert_allclose(float(metrics["gp"]), gp_external, rtol=1e-4)
+    # reference-reported d_loss = mean of (valid, fake) wasserstein losses
+    np.testing.assert_allclose(
+        float(metrics["d_loss"]), 0.5 * (loss_valid + loss_fake), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(metrics["w_distance"]), -(loss_valid + loss_fake), rtol=1e-4
+    )
+
+
 def test_gradient_penalty_matches_manual_computation(small_setup):
     """Validate the second-order GP term against a hand-rolled computation
     on a fixed batch (reference semantics:
