@@ -228,6 +228,20 @@ def cmd_crps_analyze(args):
     print(res)
 
 
+def cmd_parity_report(args):
+    """Statistical-parity verdict vs the reference's published artifacts
+    (single runnable gate for real-data parity)."""
+    import json
+
+    from prdisagg_tpu.eval.parity import parity_report
+
+    res = parity_report(args.ours, args.reference, out_path=args.out,
+                        ks_p_threshold=args.ks_p_threshold,
+                        cycle_rtol=args.cycle_rtol)
+    print(json.dumps(res, indent=2))
+    print(f"verdict: {'PASS' if res['passes'] else 'FAIL'} -> {args.out}")
+
+
 def cmd_example(args):
     """Reference example.py: uniform 10 mm/day condition -> 10 scenarios."""
     from prdisagg_tpu.api import PretrainedGenerator
@@ -341,6 +355,16 @@ def build_parser():
     ca.add_argument("--rainfarm", help="crps_results_rainfarm.pkl")
     ca.add_argument("--out", default="data")
     ca.set_defaults(fn=cmd_crps_analyze)
+
+    pr = sub.add_parser("parity-report")
+    pr.add_argument("--ours", required=True,
+                    help="our plots_generated_* artifact directory")
+    pr.add_argument("--reference", required=True,
+                    help="reference plots_generated_wgancp_pixelnorm* dir")
+    pr.add_argument("--out", default="data/parity_report.json")
+    pr.add_argument("--ks-p-threshold", type=float, default=0.01)
+    pr.add_argument("--cycle-rtol", type=float, default=0.25)
+    pr.set_defaults(fn=cmd_parity_report)
 
     ex = sub.add_parser("example")
     ex.add_argument("--weights")

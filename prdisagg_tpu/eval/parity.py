@@ -88,6 +88,61 @@ def fraction_cycle_from_csvs(csv_paths: Sequence[str]) -> np.ndarray:
     return np.mean(cycles, axis=0)
 
 
+def parity_report(
+    ours_dir: str,
+    reference_dir: str,
+    out_path: str | None = None,
+    ks_p_threshold: float = 0.01,
+    cycle_rtol: float = 0.25,
+) -> Dict[str, object]:
+    """One-command statistical-parity verdict for a trained model.
+
+    Compares the evaluation artifacts in `ours_dir` (written by
+    eval.Evaluator — same filenames as the reference's
+    generate_and_evaluate.py:581-604 outputs) against the reference's
+    published artifact directory (plots_generated_wgancp_pixelnorm*):
+
+    * KS-p-value population match (conditional-sensitivity profile), and
+    * generated daily-cycle band check (correlation + relative deviation).
+
+    Returns (and optionally writes as JSON) a dict with both sub-reports and
+    an overall ``passes`` flag.  This is the single runnable gate for
+    real-data parity (VERDICT round-2 item 10).
+    """
+    ours_pvals = load_reference_ks_pvalues(ours_dir)
+    ref_pvals = load_reference_ks_pvalues(reference_dir)
+    ks = compare_ks_pvalue_populations(ours_pvals, ref_pvals)
+
+    def _cycle_csvs(d):
+        csvs = sorted(glob.glob(os.path.join(
+            d, "check_conditional_dist_samenoise_*.csv")))
+        if not csvs:
+            raise FileNotFoundError(
+                f"no check_conditional_dist_samenoise_*.csv in {d} "
+                "(run the evaluator with make_plots=True)")
+        return csvs
+
+    cycle_ours = fraction_cycle_from_csvs(_cycle_csvs(ours_dir))
+    cycle_ref = fraction_cycle_from_csvs(_cycle_csvs(reference_dir))
+    cycle = daily_cycle_band_check(cycle_ours, cycle_ref, rtol=cycle_rtol)
+
+    report = {
+        "ours_dir": ours_dir,
+        "reference_dir": reference_dir,
+        "ks_population": ks,
+        "ks_p_threshold": ks_p_threshold,
+        "daily_cycle": cycle,
+        "passes": bool(ks["p_match"] > ks_p_threshold and cycle["passes"]),
+    }
+    if out_path:
+        import json
+
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+    return report
+
+
 def daily_cycle_band_check(
     ours: np.ndarray, reference: np.ndarray, rtol: float = 0.25
 ) -> Dict[str, object]:

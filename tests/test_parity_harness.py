@@ -65,6 +65,65 @@ def test_reference_self_comparison_passes():
     assert band["correlation"] > 0.9
 
 
+@needs_ref
+def test_parity_report_reference_self_parity(tmp_path):
+    """The one-command report must declare the reference at parity with
+    itself and write the JSON verdict."""
+    import json
+
+    from prdisagg_tpu.eval.parity import parity_report
+
+    out = str(tmp_path / "parity_report.json")
+    res = parity_report(REF_DIR, REF_DIR, out_path=out)
+    assert res["passes"] is True
+    assert res["ks_population"]["p_match"] > 0.999
+    assert res["daily_cycle"]["correlation"] > 0.999
+    with open(out) as f:
+        j = json.load(f)
+    assert j["passes"] is True
+    assert set(j) >= {"ks_population", "daily_cycle", "passes"}
+
+
+@needs_ref
+def test_parity_report_cli_on_synthetic_artifacts(tmp_path):
+    """cli parity-report runs end-to-end on artifacts from a smoke
+    evaluator run (untrained tiny model: verdict may be FAIL, but the
+    report must be produced with both band checks populated)."""
+    import json
+
+    from prdisagg_tpu.api import PretrainedGenerator
+    from prdisagg_tpu.cli import main
+    from prdisagg_tpu.core.config import (
+        ExperimentConfig, ModelConfig, TrainConfig,
+    )
+    from prdisagg_tpu.data.sampler import DeviceDataset
+    from prdisagg_tpu.data.synthetic import make_synthetic_dataset
+    from prdisagg_tpu.eval import Evaluator
+    from prdisagg_tpu.train import create_train_state
+
+    tiny = ModelConfig(ndomain=16, latent_dim=8, gen_channels=(8, 8, 8),
+                       base_channels=8, critic_channels=(8, 8, 8, 8))
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32,
+                                                 seed=13)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    state, _, _ = create_train_state(tiny, TrainConfig(seed=14))
+    pg = PretrainedGenerator(state.gen_params, tiny, seed=354)
+    exp = ExperimentConfig(data=dcfg, name="paritysmoke",
+                           model_override=tiny)
+    ev = Evaluator(exp, ds, pg, workdir=str(tmp_path))
+    ev.conditional_distribution_check(n_pairs=2, n_members=60,
+                                      make_plots=True)
+
+    out = str(tmp_path / "data" / "parity_report.json")
+    main(["parity-report", "--ours", ev.plotdir, "--reference", REF_DIR,
+          "--out", out])
+    with open(out) as f:
+        j = json.load(f)
+    assert isinstance(j["passes"], bool)
+    assert j["ks_population"]["ours"]["n"] == 2 * 24
+    assert "correlation" in j["daily_cycle"]
+
+
 def test_band_check_rejects_flat_cycle():
     ref = 1 / 24 + 0.02 * np.sin(2 * np.pi * np.arange(24) / 24)
     flat = np.full(24, 1 / 24)
