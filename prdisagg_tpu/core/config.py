@@ -107,6 +107,10 @@ class ModelConfig:
     # Numerical policy: parameters and the conservation softmax stay float32;
     # conv/matmul inputs may run in bfloat16 on the MXU when enabled.
     compute_dtype: str = "float32"
+    # True: pixel_norm on a full-f32 tensor (strict round-1 policy).
+    # False: f32 accumulation only, activations stay in compute_dtype —
+    # removes two full-tensor casts per generator stage (bf16 throughput).
+    pixelnorm_f32: bool = True
     # Fold nearest-upsample+Conv3D into 8 low-res phase convs (bit-exact,
     # 3.375x fewer MACs; ops/fused_upsample_conv.py).  Same param layout.
     fused_upsample: bool = True

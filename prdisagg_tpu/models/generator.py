@@ -20,7 +20,13 @@ import jax
 import jax.numpy as jnp
 
 from prdisagg_tpu.core.config import ModelConfig
-from prdisagg_tpu.ops import hour_softmax, leaky_relu, pixel_norm, upsample3d_nearest
+from prdisagg_tpu.ops import (
+    hour_softmax,
+    leaky_relu,
+    pixel_norm,
+    pixel_norm_mixed,
+    upsample3d_nearest,
+)
 from prdisagg_tpu.ops.fused_upsample_conv import upsample2_conv3
 
 
@@ -88,8 +94,11 @@ class Generator(nn.Module):
                     dtype=compute_dtype,
                     name=f"conv{i}",
                 )(x)
-            x = pixel_norm(x.astype(jnp.float32))
-            x = leaky_relu(x, cfg.leak).astype(compute_dtype)
+            if cfg.pixelnorm_f32:
+                x = pixel_norm(x.astype(jnp.float32))
+                x = leaky_relu(x, cfg.leak).astype(compute_dtype)
+            else:
+                x = leaky_relu(pixel_norm_mixed(x), cfg.leak)
 
         x = nn.Conv(
             1,

@@ -1,5 +1,6 @@
 from prdisagg_tpu.ops.core import (
     pixel_norm,
+    pixel_norm_mixed,
     hour_softmax,
     upsample3d_nearest,
     leaky_relu,
@@ -8,6 +9,7 @@ from prdisagg_tpu.ops.core import (
 
 __all__ = [
     "pixel_norm",
+    "pixel_norm_mixed",
     "hour_softmax",
     "upsample3d_nearest",
     "leaky_relu",

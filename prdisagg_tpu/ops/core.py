@@ -29,6 +29,20 @@ def pixel_norm(x: jax.Array, eps: float = 1.0e-8) -> jax.Array:
     return x * jax.lax.rsqrt(mean_sq + eps)
 
 
+def pixel_norm_mixed(x: jax.Array, eps: float = 1.0e-8) -> jax.Array:
+    """pixel_norm with f32 accumulation but no full-tensor f32 round-trip.
+
+    For bf16 activation stacks: the mean-of-squares reduction and rsqrt run
+    in float32 (accuracy of the statistic), while the normalized product
+    stays in the input dtype — avoiding the two full-tensor casts per stage
+    that the strict-f32 path pays (measured on v5e, see docs/PERF.md).
+    Identical to :func:`pixel_norm` for float32 inputs.
+    """
+    mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+    return x * jax.lax.rsqrt(mean_sq + eps).astype(x.dtype)
+
+
 def hour_softmax(x: jax.Array, axis: int = HOUR_AXIS) -> jax.Array:
     """Softmax over the hour axis: per-gridpoint fractions of the daily sum.
 

@@ -24,8 +24,13 @@ import numpy as np
 
 from prdisagg_tpu.core.config import ExperimentConfig
 from prdisagg_tpu.data.sampler import DeviceDataset
-from prdisagg_tpu.models.io import save_params_npz
+from prdisagg_tpu.models.io import (
+    save_keras_critic_h5,
+    save_keras_generator_h5,
+    save_params_npz,
+)
 from prdisagg_tpu.parallel import make_mesh, replicate
+from prdisagg_tpu.train.artifacts import ArtifactWriter, SyncWriter, snapshot
 from prdisagg_tpu.train.checkpoint import CheckpointManager
 from prdisagg_tpu.train.state import GANTrainState, create_train_state
 from prdisagg_tpu.train.wgan_gp import make_train_step, unpack_metrics
@@ -47,6 +52,8 @@ class Trainer:
         plot_every_epochs: int = 1,
         export_weights_every_epochs: int = 1,
         on_epoch_end: Optional[Callable] = None,
+        async_artifacts: bool = True,
+        export_format: str = "both",
     ):
         self.exp = exp
         self.model_cfg = exp.model()
@@ -58,11 +65,15 @@ class Trainer:
         os.makedirs(self.outdir, exist_ok=True)
         self.steps_per_epoch = steps_per_epoch
         self.plot_every_epochs = plot_every_epochs
-        # per-epoch .npz exports are reference parity but cost ~8 s/epoch of
-        # host I/O (two ~80 MB files); raise this for throughput runs — the
-        # Orbax checkpoint still provides exact resume
         self.export_weights_every_epochs = export_weights_every_epochs
         self.on_epoch_end = on_epoch_end
+        if export_format not in ("npz", "h5", "both"):
+            raise ValueError(f"unknown export_format {export_format!r}")
+        self.export_format = export_format
+        # All per-epoch artifact I/O (Orbax save, weight exports, hist.csv,
+        # matplotlib) runs on a background worker: the loop only takes a
+        # jitted on-device snapshot and keeps training (train/artifacts.py)
+        self.writer = ArtifactWriter() if async_artifacts else SyncWriter()
 
         n_dev = exp.train.n_data_devices
         if use_mesh and (n_dev is None or n_dev > 1) and len(jax.devices()) > 1:
@@ -114,6 +125,7 @@ class Trainer:
             if self.epoch >= target:
                 continue
             self._fit_stage(target, batch_size, progress)
+        self.writer.flush()
         return self.hist
 
     def _fit_stage(self, until_epoch: int, batch_size: int, progress: bool):
@@ -161,30 +173,59 @@ class Trainer:
     # ------------------------------------------------------------------
     def _end_of_epoch(self):
         e = self.epoch
-        if e % self.exp.train.checkpoint_every_epochs == 0:
-            self.ckpt.save(e, self.state)
-        # reference-style weight exports with params-string names
-        if e % self.export_weights_every_epochs == 0:
-            save_params_npz(
-                os.path.join(self.outdir, f"gen_{self.params_str}_{e:04d}.npz"),
-                jax.device_get(self.state.gen_params),
-            )
-            save_params_npz(
-                os.path.join(self.outdir, f"disc_{self.params_str}_{e:04d}.npz"),
-                jax.device_get(self.state.critic_params),
-            )
-        self._write_hist()
-        if self.plot_every_epochs and e % self.plot_every_epochs == 0:
-            self._plot_epoch(e)
+        need_ckpt = e % self.exp.train.checkpoint_every_epochs == 0
+        need_weights = e % self.export_weights_every_epochs == 0
+        need_plot = self.plot_every_epochs and e % self.plot_every_epochs == 0
+
+        if need_ckpt or need_weights or need_plot:
+            # on-device copy: the live buffers are donated into the next
+            # fused step, so the background writer reads only this snapshot
+            snap: GANTrainState = snapshot(self.state)
+        if need_ckpt:
+            self.writer.submit(lambda: self.ckpt.save(e, snap))
+        if need_weights:
+            self.writer.submit(
+                lambda: self._export_weights(e, snap.gen_params,
+                                             snap.critic_params))
+        hist_copy = {k: list(v) for k, v in self.hist.items()}
+        self.writer.submit(lambda: self._write_hist(hist_copy))
+        if need_plot:
+            # device compute stays in the loop thread (one tiny dispatch);
+            # the worker only fetches + runs matplotlib
+            fake, cond = self._fake_plot_batch(e, snap.gen_params, 30)
+            self.writer.submit(
+                lambda: self._plot_epoch(e, fake, cond, hist_copy))
         if self.on_epoch_end is not None:
             self.on_epoch_end(self)
 
-    def _write_hist(self):
+    def flush_artifacts(self):
+        """Block until all queued artifact writes finished (re-raising any
+        background error)."""
+        self.writer.flush()
+
+    def _export_weights(self, e: int, gen_params, critic_params):
+        """Reference-style per-epoch weight exports with params-string
+        filenames (gan_train_cwgangp_pixelnorm.py:520-521); .h5 is the
+        reference ecosystem contract, .npz the native format."""
+        gen_params = jax.device_get(gen_params)
+        critic_params = jax.device_get(critic_params)
+        base_gen = os.path.join(self.outdir, f"gen_{self.params_str}_{e:04d}")
+        base_disc = os.path.join(self.outdir, f"disc_{self.params_str}_{e:04d}")
+        if self.export_format in ("npz", "both"):
+            save_params_npz(base_gen + ".npz", gen_params)
+            save_params_npz(base_disc + ".npz", critic_params)
+        if self.export_format in ("h5", "both"):
+            save_keras_generator_h5(base_gen + ".h5", gen_params,
+                                    self.model_cfg)
+            save_keras_critic_h5(base_disc + ".h5", critic_params,
+                                 self.model_cfg)
+
+    def _write_hist(self, hist):
         import pandas as pd
 
-        pd.DataFrame(self.hist).to_csv(os.path.join(self.workdir, "hist.csv"))
+        pd.DataFrame(hist).to_csv(os.path.join(self.workdir, "hist.csv"))
 
-    def _fake_plot_batch(self, epoch: int, n_plot: int):
+    def _fake_plot_batch(self, epoch: int, gen_params, n_plot: int):
         if not hasattr(self, "_plot_fn"):
             def plot_batch(params, ds, key, n):
                 k_lat, k_cond = jax.random.split(key)
@@ -194,14 +235,11 @@ class Trainer:
 
             self._plot_fn = jax.jit(plot_batch, static_argnames=("n",))
         return self._plot_fn(
-            self.state.gen_params, self.ds, jax.random.PRNGKey(1000 + epoch),
-            n_plot,
+            gen_params, self.ds, jax.random.PRNGKey(1000 + epoch), n_plot,
         )
 
-    def _plot_epoch(self, epoch: int, n_plot: int = 30):
+    def _plot_epoch(self, epoch: int, fake, cond, hist):
         from prdisagg_tpu.utils import plotting
-
-        fake, cond = self._fake_plot_batch(epoch, n_plot)
 
         fig = plotting.sample_grid(
             np.asarray(fake), np.asarray(cond), title=f"epoch {epoch:04d}"
@@ -212,7 +250,7 @@ class Trainer:
                 f"fake_samples_{self.params_str}_{epoch:04d}.png",
             )
         )
-        fig = plotting.loss_curves(self.hist)
+        fig = plotting.loss_curves(hist)
         fig.savefig(
             os.path.join(self.plotdir, f"training_loss_{self.params_str}.png")
         )

@@ -60,6 +60,40 @@ def test_loop_trains_and_writes_artifacts(tiny_trainer_run):
     assert plots, "per-epoch sample grid missing"
 
 
+def test_loop_exports_reference_h5_weights(tiny_trainer_run):
+    """export_format='both' (default) also writes the reference-contract
+    .h5 weights each epoch (gan_train_cwgangp_pixelnorm.py:520-521); the
+    exports must reload into the live param structure."""
+    tr, _, workdir, _, _ = tiny_trainer_run
+    from prdisagg_tpu.models.io import load_keras_generator_h5
+
+    h5s = glob.glob(os.path.join(
+        workdir, "trained_models", "smoke", "gen_*_0002.h5"))
+    assert h5s, "per-epoch generator .h5 export missing"
+    assert glob.glob(os.path.join(
+        workdir, "trained_models", "smoke", "disc_*_0002.h5"))
+    loaded = load_keras_generator_h5(h5s[0], SMALL_MODEL)
+    # final exported weights == live end-of-training weights
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.gen_params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_artifact_writer_propagates_worker_errors():
+    from prdisagg_tpu.train.artifacts import ArtifactWriter
+
+    w = ArtifactWriter()
+    w.submit(lambda: (_ for _ in ()).throw(ValueError("boom")))
+    with pytest.raises(RuntimeError, match="artifact writer job failed"):
+        w.flush()
+    # writer stays usable after reporting the error
+    done = []
+    w.submit(lambda: done.append(1))
+    w.flush()
+    assert done == [1]
+    w.close()
+
+
 def test_checkpoint_resume_exact(tiny_trainer_run):
     tr, _, workdir, exp, ds = tiny_trainer_run
     # fresh trainer over the same workdir must resume at epoch 2 with
