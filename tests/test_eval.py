@@ -3,6 +3,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -101,6 +102,40 @@ def test_crps_evaluation_pipeline(eval_setup, tmp_path):
         js = json.load(f)
     assert "gan" in js and "ttest_p_gan_vs_random" in js
     assert (tmp_path / "crps_results_n_sample4.pkl").exists()
+
+
+def test_crps_gan_chunked_matches_per_sample(eval_setup):
+    """The round-2 on-device sample scan must be bit-compatible with the
+    round-1 per-sample host loop (same key-split chain => same latents =>
+    same ensembles), including the padded ragged tail, and invariant to
+    sample_chunk."""
+    from prdisagg_tpu.eval.crps import crps_gan
+    from prdisagg_tpu.ops.stats import crps_ensemble
+
+    ev, workdir, pg, ds = eval_setup
+    reals = np.asarray(ds.sample_patches_raw(jax.random.PRNGKey(11), 5))
+
+    out_a = crps_gan(pg, reals, n_members=8, member_batch=4,
+                     sample_chunk=2, seed=7)   # 5 = 2 + 2 + padded tail
+    out_b = crps_gan(pg, reals, n_members=8, member_batch=4,
+                     sample_chunk=5, seed=7)
+    np.testing.assert_allclose(out_a, out_b, rtol=1e-5, atol=1e-7)
+
+    # round-1 semantics replayed by hand (host-side key chain)
+    latent_dim = pg.cfg.latent_dim
+    key = jax.random.PRNGKey(7)
+    manual = []
+    for i in range(len(reals)):
+        key, sub = jax.random.split(key)
+        latents = jax.random.normal(sub, (8, latent_dim))
+        dsum = reals[i].sum(axis=0)
+        cond = jnp.asarray(dsum / 127.4)[None, ..., None]
+        cond_b = jnp.broadcast_to(cond, (8, *cond.shape[1:]))
+        frac = pg._gen.apply(pg.params, latents, cond_b)[..., 0]
+        ens = np.asarray(frac) * dsum[None, None]
+        crps = crps_ensemble(jnp.asarray(reals[i]), jnp.asarray(ens))
+        manual.append(np.asarray(jnp.mean(crps, axis=(1, 2))))
+    np.testing.assert_allclose(out_a, np.stack(manual), rtol=1e-4, atol=1e-6)
 
 
 def test_crps_random_baseline_identity():
