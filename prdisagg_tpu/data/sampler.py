@@ -107,12 +107,24 @@ class DeviceDataset:
             return True
         return self.data.size * self.data.dtype.itemsize > 256 * 1024 ** 2
 
-    def _gather_patches(self, idx: jax.Array, allow_pallas=None) -> jax.Array:
-        """idx: (B, 3) int32 -> (B, nhours, nd, nd, 1) hourly mm patches."""
+    def _gather_patches(self, idx: jax.Array, allow_pallas=None,
+                        mesh=None) -> jax.Array:
+        """idx: (B, 3) int32 -> (B, nhours, nd, nd, 1) hourly mm patches.
+
+        With `mesh` (size > 1), the Pallas path runs under shard_map with
+        the batch partitioned along the data axis and the tensor replicated,
+        so multi-GB HBM datasets compose with data parallelism."""
         nd = self.cfg.ndomain
         nh = self.cfg.nhours
 
         if self._use_pallas(allow_pallas):
+            if mesh is not None and mesh.size > 1:
+                from prdisagg_tpu.ops.pallas_gather import (
+                    gather_patches_pallas_sharded,
+                )
+
+                return gather_patches_pallas_sharded(
+                    self.data, idx, nd, mesh)[..., None]
             from prdisagg_tpu.ops.pallas_gather import gather_patches_pallas
 
             return gather_patches_pallas(self.data, idx, nd)[..., None]
@@ -157,18 +169,18 @@ class DeviceDataset:
         return self._gather_patches(self.indices[ix], allow_pallas)[..., 0]
 
     def sample_real(self, key: jax.Array, n_batch: int,
-                    allow_pallas=None):
+                    allow_pallas=None, mesh=None):
         """Random (fractions, condition) batch — reference
         `generate_real_samples` semantics (gan_train_cwgangp_pixelnorm.py:143-174).
 
-        `allow_pallas=False` forces the XLA gather (required under a pjit
-        mesh, where the Pallas call has no sharding rule).
+        `allow_pallas=False` forces the XLA gather; under a mesh the Pallas
+        path runs via shard_map on per-device batch shards.
 
         Returns (frac (B, nh, nd, nd, 1), cond (B, nd, nd, n_cond_channels)).
         """
         ix = jax.random.randint(key, (n_batch,), 0, self.n_samples)
         idx = self.indices[ix]
-        patches = self._gather_patches(idx, allow_pallas)
+        patches = self._gather_patches(idx, allow_pallas, mesh)
         frac, cond = fractions_and_condition(
             patches, self.cfg.norm_scale, self.cfg.frac_eps
         )
@@ -177,18 +189,18 @@ class DeviceDataset:
         return frac, cond
 
     def sample_cond(self, key: jax.Array, n_batch: int,
-                    allow_pallas=None) -> jax.Array:
+                    allow_pallas=None, mesh=None) -> jax.Array:
         """Random conditions only — reference `generate_latent_points`'s
         condition half (gan_train_cwgangp_pixelnorm.py:177-193)."""
-        _, cond = self.sample_real(key, n_batch, allow_pallas)
+        _, cond = self.sample_real(key, n_batch, allow_pallas, mesh)
         return cond
 
     def sample_latent(self, key: jax.Array, n_batch: int, latent_dim: int,
-                      allow_pallas=None):
+                      allow_pallas=None, mesh=None):
         """(latent, cond) pair for generator updates."""
         k_lat, k_cond = jax.random.split(key)
         latent = jax.random.normal(k_lat, (n_batch, latent_dim))
-        return latent, self.sample_cond(k_cond, n_batch, allow_pallas)
+        return latent, self.sample_cond(k_cond, n_batch, allow_pallas, mesh)
 
 
 @partial(jax.jit, static_argnames=("n_batch",))

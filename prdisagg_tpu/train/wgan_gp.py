@@ -92,12 +92,11 @@ def make_train_step(
     n_disc = train_cfg.n_disc
     gp_weight = train_cfg.gp_weight
     latent_dim = model_cfg.latent_dim
-    # the Pallas DMA gather has no SPMD sharding rule (single-device only);
-    # None = auto by data size (see TrainConfig.pallas_gather)
-    if mesh is not None and mesh.size > 1:
-        allow_pallas = False
-    else:
-        allow_pallas = train_cfg.pallas_gather
+    # Pallas gather: None = auto by data size (TrainConfig.pallas_gather);
+    # under a mesh it runs via shard_map on per-device batch shards
+    # (ops/pallas_gather.py::gather_patches_pallas_sharded)
+    allow_pallas = train_cfg.pallas_gather
+    sample_mesh = mesh if (mesh is not None and mesh.size > 1) else None
 
     def critic_loss_fn(critic_params, frac_real, cond, fake, k_eps, k_d1,
                        k_d3):
@@ -148,7 +147,7 @@ def make_train_step(
     def gen_loss_fn(gen_params, critic_params, ds: DeviceDataset, key):
         k_sample, k_d = jax.random.split(key)
         latent, cond = ds.sample_latent(k_sample, batch_size, latent_dim,
-                                        allow_pallas)
+                                        allow_pallas, sample_mesh)
         latent, cond = shard(latent), shard(cond)
         fake = gen.apply(gen_params, latent, cond)
         d_fake = critic.apply(
@@ -170,7 +169,8 @@ def make_train_step(
         # MXU matmuls, fewer layout transforms (+25% step rate in bf16).
         sub = [jax.random.split(k, 5) for k in keys_disc]
         frs, cds = zip(*[
-            ds.sample_real(s[0], batch_size, allow_pallas) for s in sub
+            ds.sample_real(s[0], batch_size, allow_pallas, sample_mesh)
+            for s in sub
         ])
         frac_real = jnp.stack(frs)                       # (n_disc, B, ...)
         cond = jnp.stack(cds)

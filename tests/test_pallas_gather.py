@@ -37,6 +37,39 @@ def test_interpret_gather_matches_xla_path():
     np.testing.assert_array_equal(xla, pal)
 
 
+def test_sharded_gather_on_8_device_mesh():
+    """shard_map'd Pallas gather (interpret mode) on the virtual CPU mesh:
+    per-device batch shards, replicated data, exact equality with the XLA
+    path (VERDICT round-2 item 4)."""
+    import pytest
+
+    from prdisagg_tpu.ops.pallas_gather import gather_patches_pallas_sharded
+    from prdisagg_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(3)
+    data = rng.rand(4, 24, 64, 128).astype(np.float32)  # nx lane-aligned
+    ts = rng.randint(0, 4, size=16)
+    ys = rng.randint(0, 6, size=16) * 8                  # sublane-aligned
+    xs = rng.randint(0, 112, size=16)
+    idx = np.stack([ts, ys, xs], axis=1).astype(np.int32)
+
+    mesh = make_mesh(8)
+    out = gather_patches_pallas_sharded(
+        jnp.asarray(data), jnp.asarray(idx), 16, mesh, interpret=True
+    )
+    assert out.shape == (16, 24, 16, 16)
+    for i, (t, y, x) in enumerate(idx):
+        np.testing.assert_array_equal(
+            np.asarray(out[i]), data[t, :, y : y + 16, x : x + 16]
+        )
+
+    with pytest.raises(ValueError, match="not divisible"):
+        gather_patches_pallas_sharded(
+            jnp.asarray(data), jnp.asarray(idx[:12]), 16, mesh,
+            interpret=True,
+        )
+
+
 def test_sampler_pallas_gate_off_tpu():
     """On the CPU test backend the sampler must choose the XLA path."""
     from prdisagg_tpu.core.config import DataConfig

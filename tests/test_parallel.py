@@ -142,3 +142,45 @@ def test_initialize_multihost_single_process_noop():
     from prdisagg_tpu.parallel.distributed import initialize_multihost
 
     assert initialize_multihost(num_processes=1) is False
+
+
+def test_dp_step_with_sharded_pallas_gather(monkeypatch, tmp_path):
+    """The full fused DP step composes with the shard_map'd Pallas gather
+    (forced on + interpret mode on the CPU mesh) — the round-1
+    allow_pallas=False special case is gone (train/wgan_gp.py)."""
+    import functools
+
+    import prdisagg_tpu.ops.pallas_gather as pg
+    from prdisagg_tpu.data.indices import compute_valid_indices
+
+    orig_sharded = pg.gather_patches_pallas_sharded
+    monkeypatch.setattr(
+        pg, "gather_patches_pallas_sharded",
+        functools.partial(orig_sharded, interpret=True),
+    )
+    monkeypatch.setattr(DeviceDataset, "_pallas_gather_ok", lambda self: True)
+
+    from prdisagg_tpu.core.config import DataConfig
+
+    rng = np.random.RandomState(9)
+    data = (rng.gamma(0.6, 4.0, size=(4, 24, 64, 128)) + 1e-3).astype(
+        np.float32)
+    dcfg = DataConfig()
+    indices = compute_valid_indices(data, dcfg)
+    assert len(indices) > 0
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+
+    model_cfg = ModelConfig(
+        ndomain=16, latent_dim=8,
+        gen_channels=(8, 8, 8), base_channels=8, critic_channels=(8, 8, 8, 8),
+    )
+    train_cfg = TrainConfig(n_disc=1, seed=4, pallas_gather=True)
+    mesh = make_mesh(8)
+    ds_r = replicate(ds, mesh)
+    state, gen, critic = create_train_state(model_cfg, train_cfg)
+    state_r = replicate(state, mesh)
+    step = make_train_step(gen, critic, model_cfg, train_cfg, batch_size=8,
+                           mesh=mesh, donate=False)
+    _, m = step(state_r, ds_r)
+    assert not bool(m["nonfinite"])
+    assert np.isfinite(float(m["d_loss"]))
