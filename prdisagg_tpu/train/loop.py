@@ -241,14 +241,15 @@ class Trainer:
     def _plot_epoch(self, epoch: int, fake, cond, hist):
         from prdisagg_tpu.utils import plotting
 
-        fig = plotting.sample_grid(
-            np.asarray(fake), np.asarray(cond), title=f"epoch {epoch:04d}"
-        )
-        fig.savefig(
+        # single-imsave mosaic: the 30x25 subplot figure costs ~12.5 s of
+        # GIL-holding matplotlib per epoch on a 1-core host and starves the
+        # training dispatch thread (docs/PERF.md round 2)
+        plotting.sample_grid_mosaic(
+            np.asarray(fake), np.asarray(cond),
             os.path.join(
                 self.plotdir,
                 f"fake_samples_{self.params_str}_{epoch:04d}.png",
-            )
+            ),
         )
         fig = plotting.loss_curves(hist)
         fig.savefig(
@@ -262,6 +263,7 @@ class Trainer:
         from prdisagg_tpu.utils import plotting
 
         frac, cond = sample_real_jit(self.ds, jax.random.PRNGKey(7), n_plot)
-        fig = plotting.sample_grid(np.asarray(frac), np.asarray(cond))
-        fig.savefig(os.path.join(self.plotdir, "real_samples.png"))
-        plotting.close_all()
+        plotting.sample_grid_mosaic(
+            np.asarray(frac), np.asarray(cond),
+            os.path.join(self.plotdir, "real_samples.png"),
+        )

@@ -46,6 +46,44 @@ def sample_grid(fractions: np.ndarray, cond: np.ndarray, title: str = ""):
     return fig
 
 
+def sample_grid_mosaic(fractions: np.ndarray, cond: np.ndarray, path: str,
+                       sep: int = 2) -> None:
+    """Per-epoch sample grid as ONE colormapped mosaic written with a single
+    imsave — same panels as :func:`sample_grid` (col 0 condition map, cols
+    1..24 hourly fractions) at ~30x the speed.
+
+    Rationale: a 30x25 subplot figure costs ~12.5 s of GIL-holding
+    matplotlib on a 1-core host, which starves the training dispatch thread
+    even when plotting runs on the artifact worker (docs/PERF.md round 2).
+    """
+    import matplotlib.cm as cm
+
+    fractions = np.asarray(fractions)
+    cond = np.asarray(cond)
+    if fractions.ndim == 5:
+        fractions = fractions[..., 0]
+    if cond.ndim == 4:
+        cond = cond[..., 0]
+    n, nh = fractions.shape[:2]
+    h, w = fractions.shape[2:]
+
+    frac_cmap = cm.get_cmap("hot_r")
+    cond_cmap = cm.get_cmap(COND_CMAP)
+    cond_norm = LogNorm(**COND_NORM, clip=True)
+
+    rows = []
+    hsep = np.ones((h, sep, 3), dtype=np.float32)
+    for i in range(n):
+        panels = [cond_cmap(cond_norm(np.maximum(cond[i], COND_NORM["vmin"])))[..., :3]]
+        for j in range(nh):
+            panels.append(hsep)
+            panels.append(frac_cmap(np.clip(fractions[i, j], 0, 1))[..., :3])
+        rows.append(np.concatenate(panels, axis=1))
+        rows.append(np.ones((sep, rows[-1].shape[1], 3), dtype=np.float32))
+    mosaic = np.concatenate(rows[:-1], axis=0)
+    plt.imsave(path, np.clip(mosaic, 0, 1))
+
+
 def loss_curves(hist: dict, keys=("d_loss", "g_loss")):
     fig = plt.figure()
     for k in keys:

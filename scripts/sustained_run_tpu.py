@@ -51,24 +51,36 @@ def main():
                           checkpoint_every_epochs=10),
         name="sustained_r2",
     )
+    marks = {}
+
+    def on_epoch_end(trainer):
+        # the timed window starts AFTER epoch 1 (which pays the one-off jit
+        # compile); epoch-1 artifacts are drained first so the window
+        # carries exactly epochs 2..N of artifact I/O plus the final flush
+        if trainer.epoch == 1 and "t1" not in marks:
+            trainer.flush_artifacts()
+            marks["t1"] = time.perf_counter()
+
     tr = Trainer(
         exp, ds, workdir=workdir, steps_per_epoch=spe,
         plot_every_epochs=1,            # reference cadence
         export_weights_every_epochs=1,  # reference cadence
         export_format="h5",             # what the reference writes
         async_artifacts=True,
+        on_epoch_end=on_epoch_end,
     )
-    # warm the compile before the timed window
-    tr_state_epochs = 0
     t0 = time.perf_counter()
-    tr.fit(progress=True)
-    wall = time.perf_counter() - t0
-    total_steps = epochs * spe
+    tr.fit(progress=True)  # flushes all artifact writes before returning
+    t_end = time.perf_counter()
+    wall = t_end - marks["t1"]
+    total_steps = (epochs - 1) * spe
     sustained = total_steps / wall
-    msg = (f"SUSTAINED r2: {epochs} epochs x {spe} steps f32 b32, full "
+    msg = (f"SUSTAINED r2: epochs 2..{epochs} x {spe} steps f32 b32, full "
            f"reference artifact cadence (plots + .h5 weights every epoch, "
-           f"async writer): {wall:.1f}s wall -> {sustained:.1f} fused "
-           f"steps/s sustained (round-1 synchronous: 28.6)")
+           f"async writer, final flush included): {wall:.1f}s wall -> "
+           f"{sustained:.1f} fused steps/s sustained "
+           f"(round-1 synchronous: 28.6; compile+epoch1 excluded: "
+           f"{t_end - t0 - wall:.1f}s)")
     print(msg, flush=True)
     with open(os.path.join(os.path.dirname(__file__), "..", "artifacts",
                            "sustained_r2.txt"), "w") as f:
