@@ -71,3 +71,21 @@ def test_fractions_zero_daily_sum_is_safe():
     frac, cond = fractions_and_condition(patches, norm_scale=127.4)
     assert not np.any(np.isnan(np.asarray(frac)))
     np.testing.assert_array_equal(np.asarray(frac), 0.0)
+
+
+def test_pixel_norm_mixed_matches_pixel_norm():
+    """pixel_norm_mixed == pixel_norm exactly for f32, and for bf16 the
+    f32-accumulated statistic keeps the result within bf16 rounding."""
+    from prdisagg_tpu.ops import pixel_norm, pixel_norm_mixed
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 6, 4, 4, 16).astype(np.float32) * 3
+    np.testing.assert_array_equal(
+        np.asarray(pixel_norm_mixed(jnp.asarray(x))),
+        np.asarray(pixel_norm(jnp.asarray(x))),
+    )
+    xb = jnp.asarray(x, dtype=jnp.bfloat16)
+    got = np.asarray(pixel_norm_mixed(xb), dtype=np.float32)
+    want = np.asarray(pixel_norm(jnp.asarray(x)))
+    assert got.dtype == np.float32 and pixel_norm_mixed(xb).dtype == jnp.bfloat16
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
