@@ -93,6 +93,36 @@ def im2col(x, kernel, bias):
     return out.reshape(b, 2 * d, 2 * h, 2 * w, cout) + bias
 
 
+def phase_vmap(x, kernel, bias):
+    """All 8 phase convs as ONE vmapped conv (XLA lowers rhs-batched conv to
+    a single batch_group_count kernel — kills 8x per-conv launch overhead)."""
+    b, d, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    k2 = _phase_kernels(kernel)
+    kp = k2.reshape(8, 2, 2, 2, cin, cout)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    wins = []
+    for a in range(2):
+        for bb in range(2):
+            for c in range(2):
+                wins.append(jax.lax.slice(
+                    xp, (0, a, bb, c, 0),
+                    (b, a + d + 1, bb + h + 1, c + w + 1, cin)))
+    wins = jnp.stack(wins)  # (8, b, d+1, h+1, w+1, cin)
+    dn = jax.lax.conv_dimension_numbers(
+        wins.shape[1:], kp.shape[1:], ("NDHWC", "DHWIO", "NDHWC"))
+
+    def one(wx, wk):
+        return jax.lax.conv_general_dilated(
+            wx, wk, (1, 1, 1), "VALID", dimension_numbers=dn,
+            preferred_element_type=x.dtype)
+
+    phases = jax.vmap(one)(wins, kp)  # (8, b, d, h, w, cout)
+    st = phases.reshape(2, 2, 2, b, d, h, w, cout)
+    out = jnp.transpose(st, (3, 4, 0, 5, 1, 6, 2, 7))
+    return out.reshape(b, 2 * d, 2 * h, 2 * w, cout) + bias
+
+
 def unfold(x, kernel, bias):
     xu = upsample3d_nearest(x, 2)
     dn = jax.lax.conv_dimension_numbers(
@@ -118,14 +148,15 @@ def main():
             # correctness vs reference fold (f32)
             xf, kf, bf = (a.astype(jnp.float32) for a in (x, k, bias))
             ref = upsample2_conv3(xf, kf, bf)
-            for name, f in (("union1", union1), ("unfold", unfold)):
+            for name, f in (("union1", union1), ("unfold", unfold),
+                            ("phase_vmap", phase_vmap)):
                 got = f(xf, kf, bf)
                 # TPU "f32" convs use default (bf16-pass) MXU precision, so
                 # different summation groupings differ by bf16 rounding
                 rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
                 assert rel < 2e-2, (tag, name, rel)
             for name, f in (("phase8", upsample2_conv3), ("union1", union1),
-                            ("unfold", unfold)):
+                            ("unfold", unfold), ("phase_vmap", phase_vmap)):
                 ms = timeit_injit(f, x, k, bias)
                 print(f"{tag} {name:7s} {ms:7.3f} ms", flush=True)
 

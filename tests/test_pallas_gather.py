@@ -81,3 +81,36 @@ def test_sampler_pallas_gate_off_tpu():
     assert not ds._pallas_gather_ok()
     frac, cond = ds.sample_real(jax.random.PRNGKey(0), 4)
     assert frac.shape == (4, 24, 16, 16, 1)
+
+
+def test_pallas_upsample_conv_interpret_matches_xla():
+    """Pallas folded upsample-conv (interpret mode): forward + both
+    gradients must match the XLA phase-conv formulation.  (On v5e the
+    kernel measured SLOWER than the XLA phase convs at every generator
+    stage — kept as a documented, correct alternative; docs/PERF.md.)"""
+    from prdisagg_tpu.ops.fused_upsample_conv import upsample2_conv3
+    from prdisagg_tpu.ops.pallas_upsample_conv import (
+        upsample2_conv3_pallas_interpret,
+    )
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 6, 4, 4, 8).astype("f4"))
+    k = jnp.asarray(rng.randn(3, 3, 3, 8, 8).astype("f4") * 0.1)
+    b = jnp.asarray(rng.randn(8).astype("f4"))
+
+    ref = upsample2_conv3(x, k, b)
+    got = upsample2_conv3_pallas_interpret(x, k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss_ref(x, k, b):
+        return jnp.sum(jnp.sin(upsample2_conv3(x, k, b)))
+
+    def loss_pal(x, k, b):
+        return jnp.sum(jnp.sin(upsample2_conv3_pallas_interpret(x, k, b)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, b)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(x, k, b)
+    for a_, b_ in zip(gr, gp):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)
