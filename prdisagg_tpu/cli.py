@@ -91,8 +91,12 @@ def cmd_train(args):
         ),
         name=args.name,
     )
+    warm = None
+    if args.warm_start_gen:
+        warm = (args.warm_start_gen, args.warm_start_critic)
     tr = Trainer(exp, ds, workdir=args.workdir,
-                 steps_per_epoch=args.steps_per_epoch)
+                 steps_per_epoch=args.steps_per_epoch,
+                 warm_start_weights=warm, start_epoch=args.start_epoch)
     if args.resume:
         tr.maybe_resume()
     else:
@@ -284,7 +288,15 @@ def build_parser():
     t.add_argument("--steps-per-epoch", type=int, default=None)
     t.add_argument("--workdir", default=".")
     t.add_argument("--name", default="wgancp_pixelnorm")
-    t.add_argument("--resume", action="store_true")
+    t.add_argument("--resume", action="store_true",
+                   help="exact resume from the Orbax checkpoint")
+    t.add_argument("--warm-start-gen", dest="warm_start_gen",
+                   help="generator weights (.npz/.h5) to continue from "
+                        "with fresh optimizers (reference workflow)")
+    t.add_argument("--warm-start-critic", dest="warm_start_critic",
+                   default=None)
+    t.add_argument("--start-epoch", dest="start_epoch", type=int, default=0,
+                   help="epoch-label offset for continued runs")
     t.set_defaults(fn=cmd_train)
 
     c = sub.add_parser("compute-indices")

@@ -54,7 +54,15 @@ class Trainer:
         on_epoch_end: Optional[Callable] = None,
         async_artifacts: bool = True,
         export_format: str = "both",
+        warm_start_weights: Optional[tuple] = None,
+        start_epoch: int = 0,
     ):
+        """`warm_start_weights=(gen_path, critic_path_or_None)` reloads saved
+        weights (.npz or reference .h5) with FRESH optimizers, and
+        `start_epoch` offsets the epoch labels — the reference's
+        continue-training workflow (gan_train_cwgangp_pixelnorm.py:520-529 +
+        start_epoch).  For exact resume (optimizer state included) use
+        `maybe_resume()` instead."""
         self.exp = exp
         self.model_cfg = exp.model()
         self.workdir = workdir
@@ -81,7 +89,15 @@ class Trainer:
         else:
             self.mesh = None
 
-        state, self.gen, self.critic = create_train_state(self.model_cfg, exp.train)
+        if warm_start_weights is not None:
+            from prdisagg_tpu.train.state import warm_start
+
+            gen_w, critic_w = warm_start_weights
+            state, self.gen, self.critic = warm_start(
+                self.model_cfg, exp.train, gen_w, critic_w)
+        else:
+            state, self.gen, self.critic = create_train_state(
+                self.model_cfg, exp.train)
         if self.mesh is not None:
             state = replicate(state, self.mesh)
             ds = replicate(ds, self.mesh)
@@ -96,7 +112,7 @@ class Trainer:
             "d_loss": [], "g_loss": [], "gp": [], "w_distance": [],
             "d_grad_norm": [], "g_grad_norm": [],
         }
-        self.epoch = 0
+        self.epoch = start_epoch
 
     # ------------------------------------------------------------------
     def maybe_resume(self) -> bool:

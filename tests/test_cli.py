@@ -62,3 +62,31 @@ def test_cli_rainfarm_generate(tmp_path):
         os.path.join(plotdir, "generated_precip_rainfarm_0001_allhours.png"))
     assert os.path.exists(
         str(tmp_path / "data" / "generated_samples_rainfarm.npy"))
+
+
+def test_cli_train_warm_start_continue(tmp_path, monkeypatch):
+    """Reference continue-training workflow: reload exported weights with
+    fresh optimizers and an epoch-label offset
+    (gan_train_cwgangp_pixelnorm.py:520-529 + start_epoch)."""
+    main([
+        "train", "--synthetic", "--synthetic-days", "4",
+        "--synthetic-size", "32", "--epochs", "1", "--batch-size", "4",
+        "--n-disc", "1", "--steps-per-epoch", "2",
+        "--workdir", str(tmp_path), "--name", "warmsmoke",
+    ])
+    h5s = sorted(glob.glob(str(
+        tmp_path / "trained_models" / "warmsmoke" / "gen_*_0001.h5")))
+    assert h5s
+    disc = sorted(glob.glob(str(
+        tmp_path / "trained_models" / "warmsmoke" / "disc_*_0001.h5")))
+    wd2 = tmp_path / "cont"
+    main([
+        "train", "--synthetic", "--synthetic-days", "4",
+        "--synthetic-size", "32", "--epochs", "1", "--batch-size", "4",
+        "--n-disc", "1", "--steps-per-epoch", "2",
+        "--workdir", str(wd2), "--name", "warmsmoke",
+        "--warm-start-gen", h5s[0], "--warm-start-critic", disc[0],
+        "--start-epoch", "1",
+    ])
+    assert glob.glob(str(
+        wd2 / "trained_models" / "warmsmoke" / "gen_*_0002.h5"))
