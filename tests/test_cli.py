@@ -90,3 +90,55 @@ def test_cli_train_warm_start_continue(tmp_path, monkeypatch):
     ])
     assert glob.glob(str(
         wd2 / "trained_models" / "warmsmoke" / "gen_*_0002.h5"))
+
+
+def test_cli_crps_and_analyze(tmp_path):
+    """cli crps end-to-end on tiny inputs + standalone crps-analyze."""
+    import json
+
+    from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+    from prdisagg_tpu.models.io import save_params_npz
+    from prdisagg_tpu.train import create_train_state
+
+    # the CLI resolves weights against the default flagship ModelConfig
+    state, _, _ = create_train_state(ModelConfig(), TrainConfig(seed=21))
+    wpath = str(tmp_path / "gen.npz")
+    save_params_npz(wpath, state.gen_params)
+
+    rng = np.random.RandomState(6)
+    reals = rng.gamma(2.0, 1.0, size=(3, 24, 16, 16)).astype(np.float32)
+    baseline = rng.gamma(2.0, 1.0, size=(8, 24, 16, 16)).astype(np.float32)
+    rpath = str(tmp_path / "real.npy")
+    bpath = str(tmp_path / "base.npy")
+    np.save(rpath, reals)
+    np.save(bpath, baseline)
+
+    out = str(tmp_path / "data")
+    main(["crps", "--weights", wpath, "--real", rpath, "--baseline", bpath,
+          "--n-members", "8", "--n-samples", "3", "--out", out])
+    assert os.path.exists(os.path.join(out, "crps_results_n_sample3.pkl"))
+    with open(os.path.join(out, "crps_results.json")) as f:
+        js = json.load(f)
+    assert "gan" in js and "random" in js
+
+    main(["crps-analyze", "--results",
+          os.path.join(out, "crps_results_n_sample3.pkl"), "--out", out])
+    assert os.path.exists(os.path.join(out, "crps_results.json"))
+
+
+def test_cli_lsd(tmp_path):
+    rng = np.random.RandomState(7)
+    real = rng.gamma(2.0, 1.0, size=(6, 24, 16, 16)).astype(np.float32)
+    gen = rng.gamma(2.0, 1.0, size=(6, 24, 16, 16)).astype(np.float32)
+    rpath = str(tmp_path / "real.npy")
+    gpath = str(tmp_path / "gen.npy")
+    np.save(rpath, real)
+    np.save(gpath, gen)
+    out = str(tmp_path / "out")
+    plotdir = str(tmp_path / "plots")
+    os.makedirs(out, exist_ok=True)
+    main(["lsd", "--real", rpath, "--generated", gpath,
+          "--n-samples", "6", "--out", out, "--plotdir", plotdir])
+    import glob as _g
+    assert _g.glob(os.path.join(out, "*.npy")) or _g.glob(
+        os.path.join(out, "*.pkl")) or os.listdir(out)
