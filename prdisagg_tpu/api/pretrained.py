@@ -45,13 +45,24 @@ class PretrainedGenerator:
 
     # -- constructors --------------------------------------------------------
     @classmethod
-    def from_npz(cls, path: str, cfg: Optional[ModelConfig] = None, **kw):
-        return cls(load_params_npz(path), cfg, **kw)
+    def from_npz(cls, path: str, cfg: Optional[ModelConfig] = None,
+                 n_cond_channels: int = 1, **kw):
+        """cfg=None infers the architecture from the stored weight shapes."""
+        from prdisagg_tpu.models.io import infer_generator_config
+
+        params = load_params_npz(path)
+        cfg = cfg or infer_generator_config(params, n_cond_channels)
+        return cls(params, cfg, **kw)
 
     @classmethod
-    def from_keras_h5(cls, path: str, cfg: Optional[ModelConfig] = None, **kw):
-        cfg = cfg or ModelConfig()
-        return cls(load_keras_generator_h5(path, cfg), cfg, **kw)
+    def from_keras_h5(cls, path: str, cfg: Optional[ModelConfig] = None,
+                      n_cond_channels: int = 1, **kw):
+        """cfg=None infers the architecture from the stored weight shapes."""
+        from prdisagg_tpu.models.io import infer_generator_config
+
+        params = load_keras_generator_h5(path, cfg, n_cond_channels)
+        cfg = cfg or infer_generator_config(params, n_cond_channels)
+        return cls(params, cfg, **kw)
 
     def save_npz(self, path: str) -> None:
         save_params_npz(path, self.params)

@@ -14,7 +14,7 @@
 from __future__ import annotations
 
 import re
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -184,20 +184,61 @@ def save_keras_critic_h5(path: str, params, cfg: ModelConfig) -> None:
                     _CRITIC_TOP_LAYERS)
 
 
-def load_keras_generator_h5(path: str, cfg: ModelConfig):
-    """Reference generator .h5 -> Flax Generator params pytree."""
+def infer_generator_config(
+    params, n_cond_channels: int = 1, nhours: int = 24
+) -> ModelConfig:
+    """Reconstruct the ModelConfig from a generator param pytree.
+
+    The architecture is fully determined by the weight shapes given the
+    conditioning-channel count: base channels = conv0's Cin, stage widths =
+    conv biases, and ndomain/latent_dim fall out of the dense kernel
+    (out = base * (nhours/8) * (nd/8)^2, in = latent_dim + nd^2 * C)."""
+    p = params["params"] if "params" in params and isinstance(
+        params["params"], dict) else params
+    stages = sorted((k for k in p if re.fullmatch(r"conv\d+", k)),
+                    key=lambda s: int(s[4:]))
+    gen_channels = tuple(int(np.asarray(p[c]["bias"]).shape[0])
+                         for c in stages)
+    base = int(np.asarray(p["conv0"]["kernel"]).shape[-2])
+    in_dim, out_dim = (int(s) for s in np.asarray(
+        p["latent_proj"]["kernel"]).shape)
+    gd = nhours // 8
+    grid2 = out_dim // (base * gd)
+    nd = 8 * int(round(grid2 ** 0.5))
+    if base * gd * (nd // 8) ** 2 != out_dim:
+        raise ValueError(f"cannot infer ndomain from dense out dim {out_dim}")
+    latent_dim = in_dim - nd * nd * n_cond_channels
+    if latent_dim <= 0:
+        raise ValueError(
+            f"dense in dim {in_dim} inconsistent with ndomain {nd} and "
+            f"{n_cond_channels} conditioning channels")
+    return ModelConfig(
+        ndomain=nd, nhours=nhours, latent_dim=latent_dim,
+        n_cond_channels=n_cond_channels, gen_channels=gen_channels,
+        base_channels=base,
+    )
+
+
+def load_keras_generator_h5(path: str, cfg: Optional[ModelConfig] = None,
+                            n_cond_channels: int = 1):
+    """Reference generator .h5 -> Flax Generator params pytree.
+
+    With cfg=None the architecture is inferred from the stored shapes."""
     layers = _collect_keras_layers(path)
     dense = _sorted_by_kind(layers, "dense")
     convs = _sorted_by_kind(layers, "conv3d")
-    if len(dense) != 1 or len(convs) != len(cfg.gen_channels) + 1:
+    n_stages = len(convs) - 1 if cfg is None else len(cfg.gen_channels)
+    if len(dense) != 1 or len(convs) != n_stages + 1:
         raise ValueError(
             f"unexpected generator layout in {path}: "
             f"{len(dense)} dense, {len(convs)} conv3d layers"
         )
     params = {"latent_proj": _as_param(dense[0])}
-    for i in range(len(cfg.gen_channels)):
+    for i in range(n_stages):
         params[f"conv{i}"] = _as_param(convs[i])
     params["head"] = _as_param(convs[-1])
+    if cfg is None:
+        cfg = infer_generator_config(params, n_cond_channels)
     _check_generator_shapes(params, cfg, path)
     return {"params": params}
 

@@ -194,3 +194,36 @@ def test_plot_scenarios_figure():
     scen = pg.generate_scenarios(5.0 * np.ones((16, 16, 1)), 2)
     fig = pg.plot_scenarios(scen)
     assert len(fig.axes) >= 2 * 24
+
+
+def test_architecture_inference_from_weights(tmp_path):
+    """cfg=None loaders reconstruct the ModelConfig from weight shapes —
+    variant weights (tiny, large-domain, doy) load without flags."""
+    from prdisagg_tpu.models.io import infer_generator_config
+
+    for cfg, nc in (
+        (TINY, 1),
+        (ModelConfig(ndomain=32, latent_dim=12, gen_channels=(8, 8, 8),
+                     base_channels=8, critic_channels=(8, 8, 8, 8)), 1),
+        (ModelConfig(ndomain=16, latent_dim=8, n_cond_channels=3,
+                     gen_channels=(8, 8, 8), base_channels=8,
+                     critic_channels=(8, 8, 8, 8)), 3),
+    ):
+        state, _, _ = create_train_state(cfg, TrainConfig(seed=30))
+        inferred = infer_generator_config(state.gen_params, nc)
+        assert inferred.ndomain == cfg.ndomain
+        assert inferred.latent_dim == cfg.latent_dim
+        assert inferred.gen_channels == cfg.gen_channels
+        assert inferred.base_channels == cfg.base_channels
+
+    # end to end: npz and h5 round trips with cfg=None
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=31))
+    npz = str(tmp_path / "gen.npz")
+    h5 = str(tmp_path / "gen.h5")
+    save_params_npz(npz, state.gen_params)
+    save_keras_generator_h5(h5, state.gen_params, TINY)
+    for pg in (PretrainedGenerator.from_npz(npz),
+               PretrainedGenerator.from_keras_h5(h5)):
+        assert pg.cfg.ndomain == 16 and pg.cfg.latent_dim == 8
+        out = pg.generate_scenarios(10 * np.ones((16, 16, 1)), 2)
+        assert out.shape == (2, 24, 16, 16)
