@@ -73,8 +73,7 @@ def main():
     bf16_steps_per_sec = measure("bfloat16")
 
     model_cfg = ModelConfig()
-    _, gen, _ = create_train_state(model_cfg, TrainConfig(seed=0))
-    state, _, _ = create_train_state(model_cfg, TrainConfig(seed=0))
+    state, gen, _ = create_train_state(model_cfg, TrainConfig(seed=0))
 
     # secondary: inference scenarios/sec (generate_scenarios-style batch)
     n_scen = 1000
@@ -101,8 +100,10 @@ def main():
             "device": str(jax.devices()[0]),
             "samples_per_sec": round(steps_per_sec * batch_size * 6, 1),
             "bf16_steps_per_sec": round(bf16_steps_per_sec, 3),
-            "sustained_steps_per_sec_full_artifact_cadence": 60.4,
-            "crps_protocol_samples_per_sec": 20.7,
+            # recorded round-2 evidence runs, NOT re-measured here (see
+            # docs/PERF.md; scripts/sustained_run_tpu.py, exp_crps_r2.py)
+            "recorded_sustained_steps_per_sec_r2": 60.4,
+            "recorded_crps_protocol_samples_per_sec_r2": 20.7,
         },
     }))
 

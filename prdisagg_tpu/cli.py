@@ -94,6 +94,8 @@ def cmd_train(args):
     warm = None
     if args.warm_start_gen:
         warm = (args.warm_start_gen, args.warm_start_critic)
+    elif args.warm_start_critic:
+        sys.exit("--warm-start-critic requires --warm-start-gen")
     tr = Trainer(exp, ds, workdir=args.workdir,
                  steps_per_epoch=args.steps_per_epoch,
                  warm_start_weights=warm, start_epoch=args.start_epoch)
@@ -394,6 +396,25 @@ def build_parser():
 
 
 def main(argv=None):
+    # this image pre-imports jax via sitecustomize with the TPU platform
+    # latched, so the documented `JAX_PLATFORMS=cpu python -m ...cli` must be
+    # re-applied through the config (env alone is too late); also enable the
+    # persistent compile cache for the slow remote-compile platform
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/prdisagg_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     args = build_parser().parse_args(argv)
     args.fn(args)
 

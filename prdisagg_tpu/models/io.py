@@ -192,7 +192,13 @@ def infer_generator_config(
     The architecture is fully determined by the weight shapes given the
     conditioning-channel count: base channels = conv0's Cin, stage widths =
     conv biases, and ndomain/latent_dim fall out of the dense kernel
-    (out = base * (nhours/8) * (nd/8)^2, in = latent_dim + nd^2 * C)."""
+    (out = base * (nhours/8) * (nd/8)^2, in = latent_dim + nd^2 * C).
+
+    CAUTION: the conditioning-channel count itself is NOT inferable — the
+    dense in-dim only constrains latent_dim + nd^2*C, so doy/lon weights
+    loaded with the default n_cond_channels=1 produce a structurally valid
+    but semantically wrong config (extra channels absorbed into latent_dim).
+    Pass the variant's channel count explicitly for non-base conditioning."""
     p = params["params"] if "params" in params and isinstance(
         params["params"], dict) else params
     stages = sorted((k for k in p if re.fullmatch(r"conv\d+", k)),

@@ -105,8 +105,14 @@ def gather_patches_pallas_sharded(
     unpartitioned, so the per-device Pallas call never needs a cross-device
     sharding rule.  Requires indices.shape[0] % mesh.shape[axis] == 0.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8 (replication check: check_vma)
+        _check_kw = {"check_vma": False}
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+        _check_kw = {"check_rep": False}
 
     n_shard = mesh.shape[axis]
     if indices.shape[0] % n_shard != 0:
@@ -123,7 +129,7 @@ def gather_patches_pallas_sharded(
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
+        **_check_kw,
     )(data, indices)
 
 

@@ -113,6 +113,7 @@ class Trainer:
             "d_grad_norm": [], "g_grad_norm": [],
         }
         self.epoch = start_epoch
+        self._epoch0 = start_epoch  # schedule progress is counted from here
 
     # ------------------------------------------------------------------
     def maybe_resume(self) -> bool:
@@ -135,12 +136,30 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self, progress: bool = True) -> dict:
-        """Run the full schedule; returns the metrics history."""
-        for n_epochs, batch_size in self.exp.train.schedule:
-            target = self.epoch + n_epochs
-            if self.epoch >= target:
-                continue
-            self._fit_stage(target, batch_size, progress)
+        """Run the full schedule; returns the metrics history.
+
+        Stage boundaries are CUMULATIVE from the run's first epoch, so a
+        resumed run finishes the remainder of the correct stage instead of
+        re-running whole stages (e.g. schedule ((20,32),(30,64)) resumed at
+        epoch 35 trains epochs 36..50 at batch 64).  All queued artifact
+        writes are flushed even when a stage aborts (NaNLossError etc.) so
+        the last completed epoch's checkpoint/exports are on disk."""
+        try:
+            cum = self._epoch0
+            for n_epochs, batch_size in self.exp.train.schedule:
+                cum += n_epochs
+                if self.epoch >= cum:
+                    continue
+                self._fit_stage(cum, batch_size, progress)
+        except BaseException:
+            # drain what was already queued, but never mask the train error
+            try:
+                self.writer.flush()
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
+            raise
         self.writer.flush()
         return self.hist
 

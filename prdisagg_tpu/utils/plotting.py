@@ -56,8 +56,6 @@ def sample_grid_mosaic(fractions: np.ndarray, cond: np.ndarray, path: str,
     matplotlib on a 1-core host, which starves the training dispatch thread
     even when plotting runs on the artifact worker (docs/PERF.md round 2).
     """
-    import matplotlib.cm as cm
-
     fractions = np.asarray(fractions)
     cond = np.asarray(cond)
     if fractions.ndim == 5:
@@ -67,8 +65,8 @@ def sample_grid_mosaic(fractions: np.ndarray, cond: np.ndarray, path: str,
     n, nh = fractions.shape[:2]
     h, w = fractions.shape[2:]
 
-    frac_cmap = cm.get_cmap("hot_r")
-    cond_cmap = cm.get_cmap(COND_CMAP)
+    frac_cmap = matplotlib.colormaps["hot_r"]
+    cond_cmap = matplotlib.colormaps[COND_CMAP]
     cond_norm = LogNorm(**COND_NORM, clip=True)
 
     rows = []

@@ -201,3 +201,40 @@ def test_nan_abort_raises(tmp_path):
                  steps_per_epoch=1, plot_every_epochs=0)
     with pytest.raises(NaNLossError):
         tr.fit(progress=False)
+
+
+def test_fit_stage_boundaries_resume_and_warm_start(tmp_path):
+    """Schedule stages are cumulative: a resumed run finishes the remainder
+    of the right stage (batch size!), and warm-started runs train the full
+    schedule from their start_epoch offset."""
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32,
+                                                 seed=16)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+
+    def run(schedule, epoch=None, start_epoch=0):
+        exp = dataclasses.replace(
+            _tiny_exp(),
+            train=TrainConfig(n_disc=1, schedule=schedule, seed=3,
+                              log_every_steps=1))
+        tr = Trainer(exp, ds, workdir=str(tmp_path), use_mesh=False,
+                     steps_per_epoch=1, plot_every_epochs=0,
+                     start_epoch=start_epoch)
+        if epoch is not None:
+            tr.epoch = epoch
+        calls = []
+
+        def fake_stage(until, batch, progress):
+            calls.append((until, batch))
+            tr.epoch = until
+
+        tr._fit_stage = fake_stage
+        tr.fit(progress=False)
+        return calls
+
+    assert run(((2, 4), (2, 8))) == [(2, 4), (4, 8)]
+    # resumed mid-stage-2: only the remainder of stage 2 at ITS batch size
+    assert run(((2, 4), (2, 8)), epoch=3) == [(4, 8)]
+    # resumed exactly at the end: nothing to do
+    assert run(((2, 4), (2, 8)), epoch=4) == []
+    # warm start: full schedule, offset labels
+    assert run(((2, 4),), start_epoch=5) == [(7, 4)]
