@@ -114,6 +114,12 @@ class ModelConfig:
     # Fold nearest-upsample+Conv3D into 8 low-res phase convs (bit-exact,
     # 3.375x fewer MACs; ops/fused_upsample_conv.py).  Same param layout.
     fused_upsample: bool = True
+    # Spatial (context-parallel analogue) sharding: name of a mesh axis to
+    # shard the y spatial dimension of conv activations over — the XLA
+    # partitioner inserts halo exchanges over ICI.  The extension point for
+    # domains far beyond 64x64 (SURVEY §5 long-context row); apply the model
+    # inside `jax.sharding.set_mesh(mesh)`.  None = replicated (default).
+    spatial_axis: Optional[str] = None
 
     def __post_init__(self):
         if self.ndomain % 8 != 0:

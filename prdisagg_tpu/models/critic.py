@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from prdisagg_tpu.core.config import ModelConfig
-from prdisagg_tpu.ops import leaky_relu
+from prdisagg_tpu.ops import leaky_relu, spatial_constraint
 
 
 class Critic(nn.Module):
@@ -58,6 +58,8 @@ class Critic(nn.Module):
             )(x)
             x = leaky_relu(x, cfg.leak)
             x = nn.Dropout(rate=cfg.dropout_rate, deterministic=deterministic)(x)
+            # optional spatial sharding (halo exchange; core/config.py)
+            x = spatial_constraint(x, cfg.spatial_axis)
 
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         return nn.Dense(1, kernel_init=init, name="score")(x)

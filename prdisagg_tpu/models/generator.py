@@ -25,6 +25,7 @@ from prdisagg_tpu.ops import (
     leaky_relu,
     pixel_norm,
     pixel_norm_mixed,
+    spatial_constraint,
     upsample3d_nearest,
 )
 from prdisagg_tpu.ops.fused_upsample_conv import upsample2_conv3
@@ -99,6 +100,9 @@ class Generator(nn.Module):
                 x = leaky_relu(x, cfg.leak).astype(compute_dtype)
             else:
                 x = leaky_relu(pixel_norm_mixed(x), cfg.leak)
+            # optional spatial sharding of activations (halo exchange by
+            # XLA; cfg.spatial_axis, core/config.py) for very large domains
+            x = spatial_constraint(x, cfg.spatial_axis)
 
         x = nn.Conv(
             1,

@@ -4,6 +4,7 @@ from prdisagg_tpu.ops.core import (
     hour_softmax,
     upsample3d_nearest,
     leaky_relu,
+    spatial_constraint,
     fractions_and_condition,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "hour_softmax",
     "upsample3d_nearest",
     "leaky_relu",
+    "spatial_constraint",
     "fractions_and_condition",
 ]

@@ -72,6 +72,21 @@ def upsample3d_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
     return x.reshape(b, d * factor, h * factor, w * factor, c)
 
 
+def spatial_constraint(x: jax.Array, axis: "str | None",
+                       y_dim: int = 2) -> jax.Array:
+    """Constrain a (..., y, x, C) activation to be sharded along `axis` on
+    its y dimension (halo exchanges are inserted by the XLA partitioner for
+    the surrounding convs).  No-op when axis is None or y is too small to
+    shard.  Must run under `jax.sharding.set_mesh(mesh)`."""
+    if axis is None:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    spec = [None] * x.ndim
+    spec[y_dim] = axis
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def fractions_and_condition(
     patches: jax.Array,
     norm_scale: float,

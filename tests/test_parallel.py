@@ -184,3 +184,41 @@ def test_dp_step_with_sharded_pallas_gather(monkeypatch, tmp_path):
     _, m = step(state_r, ds_r)
     assert not bool(m["nonfinite"])
     assert np.isfinite(float(m["d_loss"]))
+
+
+def test_spatial_sharding_matches_replicated():
+    """Context-parallel analogue (SURVEY §5 long-context row): activations
+    sharded along y over a spatial mesh axis — XLA inserts the halo
+    exchanges — must reproduce the replicated forward exactly, for both
+    networks, at the 64x64 large-domain scale."""
+    import dataclasses
+
+    from prdisagg_tpu.models import Critic, Generator
+
+    base = ModelConfig(
+        ndomain=64, latent_dim=8,
+        gen_channels=(8, 8, 8), base_channels=8, critic_channels=(8, 8, 8, 8),
+    )
+    state, gen, critic = create_train_state(base, TrainConfig(seed=40))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (4, 64, 64, 1))
+    ref = jax.jit(lambda p, l, c: gen.apply(p, l, c))(
+        state.gen_params, lat, cond)
+
+    sp = dataclasses.replace(base, spatial_axis="spatial")
+    gen_s, critic_s = Generator(sp), Critic(sp)
+    mesh = make_mesh(4, axis="spatial")
+    with jax.sharding.set_mesh(mesh):
+        out = jax.jit(lambda p, l, c: gen_s.apply(p, l, c))(
+            state.gen_params, lat, cond)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    assert "spatial" in str(out.sharding)
+
+    refc = jax.jit(lambda p, s, c: critic.apply(p, s, c))(
+        state.critic_params, ref, cond)
+    with jax.sharding.set_mesh(mesh):
+        outc = jax.jit(lambda p, s, c: critic_s.apply(p, s, c))(
+            state.critic_params, ref, cond)
+    np.testing.assert_allclose(np.asarray(outc), np.asarray(refc),
+                               rtol=1e-4, atol=1e-5)
