@@ -3,7 +3,7 @@ model on the synthetic fixture dataset, then run the evaluation suite at
 smoke scale.  Validates training stability (no NaN, losses evolve, GP pulls
 ||grad|| toward 1) and the full train->checkpoint->eval chain on device.
 
-Usage: python scripts/train_synthetic_tpu.py [epochs] [steps_per_epoch]
+Usage: python scripts/train_synthetic_tpu.py [epochs] [steps_per_epoch] [dtype]
 """
 
 import os
@@ -34,6 +34,7 @@ def main():
 
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     spe = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
 
     workdir = os.path.join(os.path.dirname(__file__), "..", "artifacts",
                            "synthetic_run")
@@ -43,10 +44,15 @@ def main():
     print(f"synthetic dataset: {data.shape}, {len(indices)} valid patches")
     ds = DeviceDataset.from_numpy(data, indices, dcfg)
 
+    from prdisagg_tpu.core.config import ModelConfig
+
     exp = ExperimentConfig(
         data=dcfg,
         train=TrainConfig(schedule=((epochs, 32),), seed=0, log_every_steps=50),
         name="synthetic_smoke",
+        model_override=None if dtype == "float32" else ModelConfig(
+            ndomain=dcfg.ndomain, nhours=dcfg.nhours,
+            n_cond_channels=dcfg.n_cond_channels, compute_dtype=dtype),
     )
     tr = Trainer(exp, ds, workdir=workdir, steps_per_epoch=spe)
     tr.plot_real_samples()
