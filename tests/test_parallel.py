@@ -222,3 +222,44 @@ def test_spatial_sharding_matches_replicated():
             state.critic_params, ref, cond)
     np.testing.assert_allclose(np.asarray(outc), np.asarray(refc),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_2d_mesh_data_by_spatial_train_step():
+    """Composed 2-D parallelism: batch sharded over 'data' x conv
+    activations halo-sharded over 'spatial' in the SAME fused train step,
+    matching single-device semantics (d_loss exactly; g_loss within
+    halo-reassembly reduction-order tolerance)."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from prdisagg_tpu.core.config import DataConfig
+    from prdisagg_tpu.models import Critic, Generator
+
+    data, indices, dcfg = make_synthetic_dataset(
+        n_days=3, ny=96, nx=96, seed=11,
+        cfg=DataConfig(ndomain=64, n_thresh=40))
+    base = ModelConfig(
+        ndomain=64, latent_dim=8,
+        gen_channels=(8, 8, 8), base_channels=8, critic_channels=(8, 8, 8, 8),
+    )
+    tc = TrainConfig(n_disc=1, seed=5)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    state, gen, critic = create_train_state(base, tc)
+
+    step1 = make_train_step(gen, critic, base, tc, batch_size=4, donate=False)
+    _, m1 = step1(state, ds)
+
+    sp_cfg = dataclasses.replace(base, spatial_axis="spatial")
+    gen_s, critic_s = Generator(sp_cfg), Critic(sp_cfg)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "spatial"))
+    ds_r = replicate(ds, mesh)
+    state_r = replicate(state, mesh)
+    step2 = make_train_step(gen_s, critic_s, sp_cfg, tc, batch_size=4,
+                            mesh=mesh, donate=False)
+    with jax.sharding.set_mesh(mesh):
+        _, m2 = step2(state_r, ds_r)
+    np.testing.assert_allclose(float(m1["d_loss"]), float(m2["d_loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["g_loss"]), float(m2["g_loss"]),
+                               rtol=5e-3)
