@@ -190,3 +190,30 @@ def test_generate_and_plot_artifacts(tmp_path):
     ):
         assert os.path.exists(os.path.join(plotdir, name)), name
     assert os.path.exists(os.path.join(datadir, "generated_samples_rainfarm.npy"))
+
+
+def test_crps_rainfarm_scan_matches_per_sample():
+    """The on-device sample scan must equal a direct per-sample computation
+    with the same keys (round-2 restructure; also exercises the padded
+    ragged tail with n=3 < chunk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from prdisagg_tpu.baselines.rainfarm.core import downscale_ensemble
+    from prdisagg_tpu.baselines.rainfarm.pipeline import crps_rainfarm
+    from prdisagg_tpu.core.config import RainFarmConfig
+    from prdisagg_tpu.ops.stats import crps_ensemble
+
+    rng = np.random.RandomState(17)
+    reals = rng.gamma(2.0, 1.0, size=(3, 24, 16, 16)).astype(np.float32)
+    cfg = RainFarmConfig()
+    out = crps_rainfarm(reals, 1.5, 0.9, cfg, n_members=6, seed=4)
+    assert out.shape == (3, 24)
+
+    keys = jax.random.split(jax.random.PRNGKey(4), 3)
+    for i in range(3):
+        dsum = jnp.asarray(reals[i].sum(axis=0))
+        ens = downscale_ensemble(dsum, 1.5, 0.9, cfg.ds_t_factor, keys[i], 6)
+        row = jnp.mean(crps_ensemble(jnp.asarray(reals[i]), ens), axis=(1, 2))
+        np.testing.assert_allclose(out[i], np.asarray(row), rtol=1e-5,
+                                   atol=1e-7)
