@@ -107,23 +107,31 @@ def crps_random_baseline(
     """Score a fixed real-patch ensemble against every sample
     (generate_and_evaluate_crps.py:193-195). Returns (n, 24).
 
-    The ensemble is an explicit jit ARGUMENT: a closed-over device array
-    would be embedded as a program constant and shipped with the (remote)
-    compile request — hundreds of MB through the tunnel.
+    Because the ensemble is FIXED, the CRPS spread term (the O(M log M)
+    sort) is computed ONCE for all samples (`ops.stats.crps_ensemble_fixed`)
+    — identical values to the per-sample estimator, tested.  The ensemble is
+    an explicit jit ARGUMENT: a closed-over device array would be embedded
+    as a program constant and shipped with the (remote) compile request —
+    hundreds of MB through the tunnel.
     """
+    from prdisagg_tpu.ops.stats import crps_ensemble_fixed
+
     ens = jnp.asarray(baseline_patches)  # (M, 24, nd, nd)
 
     @jax.jit
     def score(real_chunk, ens):
-        def one(real):
-            return jnp.mean(crps_ensemble(real, ens), axis=(1, 2))
-        return jax.vmap(one)(real_chunk)
+        return jnp.mean(crps_ensemble_fixed(real_chunk, ens), axis=(2, 3))
 
-    out = []
+    outs = []
     reals_j = jnp.asarray(reals_precip)
-    for i0 in range(0, len(reals_precip), chunk):
-        out.append(np.asarray(score(reals_j[i0 : i0 + chunk], ens)))
-    return np.concatenate(out)
+    n = len(reals_precip)
+    for i0 in range(0, n, chunk):
+        c = min(chunk, n - i0)
+        r = reals_j[i0 : i0 + c]
+        if c < chunk:  # pad tail to reuse the compiled shape
+            r = jnp.concatenate([r, jnp.ones((chunk - c, *r.shape[1:]))])
+        outs.append(score(r, ens)[:c])  # device arrays, no per-chunk sync
+    return np.concatenate([np.asarray(o) for o in outs])
 
 
 def analyze(

@@ -52,6 +52,30 @@ def crps_ensemble(observation: jax.Array, forecasts: jax.Array) -> jax.Array:
     return term1 - spread
 
 
+def crps_ensemble_fixed(observations: jax.Array,
+                        forecasts: jax.Array) -> jax.Array:
+    """CRPS of a FIXED ensemble against a batch of observations.
+
+    Identical to vmapping :func:`crps_ensemble` over observations, but the
+    spread term  0.5 * E|X - X'|  depends only on the forecasts, so the
+    O(M log M) sort happens ONCE for the whole batch instead of per
+    observation — the right shape for the reference's "random" baseline
+    protocol, where one 5000-patch ensemble scores every test sample
+    (generate_and_evaluate_crps.py:164-195).
+
+    observations: (B, ...); forecasts: (M, ...).  Returns (B, ...).
+    """
+    m = forecasts.shape[0]
+    xs = jnp.sort(jnp.moveaxis(forecasts, 0, -1), axis=-1)
+    k = jnp.arange(m, dtype=forecasts.dtype)
+    w = (2.0 * k - m + 1.0)
+    spread = jnp.tensordot(xs, w, axes=(-1, 0)) / (m * m)  # (...)
+    term1 = jnp.mean(
+        jnp.abs(forecasts[None] - observations[:, None]), axis=1
+    )  # (B, ...)
+    return term1 - spread[None]
+
+
 # ---------------------------------------------------------------------------
 # Radial power spectrum + log-spectral distance
 # ---------------------------------------------------------------------------

@@ -128,3 +128,17 @@ def test_ecdf():
     x, y = ecdf(np.array([3.0, 1.0, 2.0]))
     np.testing.assert_array_equal(x, [1.0, 2.0, 3.0])
     np.testing.assert_allclose(y, [1 / 3, 2 / 3, 1.0])
+
+
+def test_crps_ensemble_fixed_matches_per_sample():
+    """The fixed-ensemble batched form (spread computed once) must equal
+    vmapping the per-sample estimator over observations."""
+    from prdisagg_tpu.ops.stats import crps_ensemble, crps_ensemble_fixed
+
+    rng = np.random.RandomState(19)
+    obs = jnp.asarray(rng.gamma(2.0, 1.0, size=(5, 6, 4, 4)).astype("f4"))
+    ens = jnp.asarray(rng.gamma(2.0, 1.0, size=(32, 6, 4, 4)).astype("f4"))
+    fixed = crps_ensemble_fixed(obs, ens)
+    per = jnp.stack([crps_ensemble(obs[i], ens) for i in range(5)])
+    np.testing.assert_allclose(np.asarray(fixed), np.asarray(per),
+                               rtol=1e-5, atol=1e-6)
