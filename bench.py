@@ -5,21 +5,61 @@ generator update, i.e. exactly the work the reference does with 6 separate
 `train_on_batch` host round-trips per step
 (reference: gan_train_cwgangp_pixelnorm.py:463-482).
 
+The headline value is measured at the framework's default training precision
+(bfloat16 compute, float32 params + conservation softmax — quality proven at
+the full 50-epoch protocol, daily-cycle corr 0.985; docs/PERF.md round 2/3).
+float32 — the reference's implicit precision — is reported as a secondary
+number.
+
 vs_baseline compares against an estimated 2.5 fused-steps/sec for the
 reference TF2.1 run on a V100 (6 graph launches with feed-dict-style host
 transfers each step; the reference publishes no numbers — BASELINE.md
 `published: {}`).  The BASELINE north star is >=10x, i.e. vs_baseline >= 10.
 
+Fault tolerance (round-3 requirement — the round-2 driver bench was erased by
+one transient `FAILED_PRECONDITION` tunnel fault): every measurement phase
+runs in its OWN subprocess; backend faults are retried up to 3 times in a
+fresh process, while a genuine non-finite training loss is reported, not
+retried.  The final one-line JSON is emitted even when secondary phases fail.
+
 Prints ONE JSON line.
 """
 
+from __future__ import annotations
+
+import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
-import numpy as np
-
 REFERENCE_STEPS_PER_SEC_ESTIMATE = 2.5  # V100, see module docstring
+
+PHASES = ("bf16", "f32", "scen")
+MAX_ATTEMPTS = 3
+PHASE_TIMEOUT_S = 1800  # remote compiles through the tunnel take 30s-10min
+
+# substrings identifying a dead/unhealthy backend (retryable) as opposed to a
+# genuine numerical failure of the training run (not retryable)
+_BACKEND_ERROR_MARKS = (
+    "FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED", "INTERNAL",
+    "RESOURCE_EXHAUSTED", "ABORTED", "JaxRuntimeError", "XlaRuntimeError",
+    "Unable to initialize backend", "Connection reset", "Socket closed",
+)
+
+
+class NonFiniteLoss(RuntimeError):
+    """Training metrics went non-finite — a real result, never retried."""
+
+
+def _classify(exc: BaseException) -> str:
+    if isinstance(exc, NonFiniteLoss):
+        return "nonfinite"
+    msg = f"{type(exc).__name__}: {exc}"
+    if any(m in msg for m in _BACKEND_ERROR_MARKS):
+        return "backend"
+    return "other"
 
 
 def _sync(x) -> float:
@@ -32,7 +72,7 @@ def _sync(x) -> float:
     return float(x)
 
 
-def main():
+def _setup_jax():
     import jax
 
     try:  # persistent compile cache: first run ~30-300s, later runs seconds
@@ -41,7 +81,15 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    return jax
 
+
+# ---------------------------------------------------------------------------
+# measurement phases (each runs inside its own subprocess)
+# ---------------------------------------------------------------------------
+
+def _measure_train(compute_dtype: str, tiny: bool) -> dict:
+    jax = _setup_jax()
     from prdisagg_tpu.core.config import ModelConfig, TrainConfig
     from prdisagg_tpu.data.sampler import DeviceDataset
     from prdisagg_tpu.data.synthetic import make_synthetic_dataset
@@ -49,64 +97,205 @@ def main():
 
     batch_size = 32
     data, indices, dcfg = make_synthetic_dataset(n_days=8, ny=64, nx=64, seed=0)
+    kwargs = dict(compute_dtype=compute_dtype)
+    if tiny:  # orchestration/CI testing only — NOT a benchmark config
+        kwargs.update(latent_dim=8, gen_channels=(8, 8, 8), base_channels=8,
+                      critic_channels=(8, 8, 8, 8))
+    model_cfg = ModelConfig(**kwargs)
+    train_cfg = TrainConfig(seed=0)        # n_disc=5, Adam(1e-4, 0, 0.9)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    state, gen, critic = create_train_state(model_cfg, train_cfg)
+    # steps_per_call matches the production Trainer dispatch pattern
+    # (K fused steps scanned per host dispatch, train/loop.py)
+    k = 10
+    step = make_train_step(gen, critic, model_cfg, train_cfg, batch_size,
+                           steps_per_call=k)
+    state, metrics = step(state, ds)       # warmup / compile
+    if bool(metrics["nonfinite"]):         # host fetch = hard sync
+        raise NonFiniteLoss(f"non-finite loss in {compute_dtype} warmup")
+    n_calls = 2 if tiny else 5
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state, metrics = step(state, ds)
+    _sync(metrics["d_loss"])               # depends on the full chain
+    dt = time.perf_counter() - t0
+    if bool(metrics["nonfinite"]):
+        raise NonFiniteLoss(f"non-finite loss during {compute_dtype} timing")
+    sps = n_calls * k / dt
+    return {"value": round(sps, 3), "device": str(jax.devices()[0]),
+            "batch_size": batch_size}
 
-    def measure(compute_dtype: str) -> float:
-        model_cfg = ModelConfig(compute_dtype=compute_dtype)
-        train_cfg = TrainConfig(seed=0)    # n_disc=5, Adam(1e-4, 0, 0.9)
-        ds = DeviceDataset.from_numpy(data, indices, dcfg)
-        state, gen, critic = create_train_state(model_cfg, train_cfg)
-        # steps_per_call matches the production Trainer dispatch pattern
-        # (K fused steps scanned per host dispatch, train/loop.py)
-        k = 10
-        step = make_train_step(gen, critic, model_cfg, train_cfg, batch_size,
-                               steps_per_call=k)
-        state, metrics = step(state, ds)   # warmup / compile
-        assert not bool(metrics["nonfinite"])  # host fetch = hard sync
-        n_calls = 5
-        t0 = time.perf_counter()
-        for _ in range(n_calls):
-            state, metrics = step(state, ds)
-        _sync(metrics["d_loss"])  # depends on the full chain
-        return n_calls * k / (time.perf_counter() - t0)
 
-    steps_per_sec = measure("float32")     # reference-protocol dtype
-    bf16_steps_per_sec = measure("bfloat16")
+def _measure_scenarios(tiny: bool) -> dict:
+    """Inference scenarios/sec — generate_scenarios-style batched forward
+    (reference: raindisagg_gan_pretrained.py:52-65)."""
+    jax = _setup_jax()
+    from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+    from prdisagg_tpu.train import create_train_state
 
-    model_cfg = ModelConfig()
+    kwargs = dict(latent_dim=8, gen_channels=(8, 8, 8), base_channels=8,
+                  critic_channels=(8, 8, 8, 8)) if tiny else {}
+    model_cfg = ModelConfig(**kwargs)
     state, gen, _ = create_train_state(model_cfg, TrainConfig(seed=0))
-
-    # secondary: inference scenarios/sec (generate_scenarios-style batch)
     n_scen = 1000
-    latent = jax.random.normal(jax.random.PRNGKey(0), (n_scen, model_cfg.latent_dim))
+    latent = jax.random.normal(jax.random.PRNGKey(0),
+                               (n_scen, model_cfg.latent_dim))
     cond = jax.numpy.ones((n_scen, 16, 16, 1)) * (10.0 / 127.4)
     fwd = jax.jit(lambda p, l, c: gen.apply(p, l, c))
     _sync(fwd(state.gen_params, latent, cond).sum())
     t0 = time.perf_counter()
     acc = None
-    reps = 10
+    reps = 2 if tiny else 10
     for _ in range(reps):
         out = fwd(state.gen_params, latent, cond)
         acc = out if acc is None else acc + out
     _sync(acc.sum())
-    scen_per_sec = reps * n_scen / (time.perf_counter() - t0)
+    return {"value": round(reps * n_scen / (time.perf_counter() - t0), 1)}
 
-    print(json.dumps({
+
+def run_phase(phase: str, tiny: bool) -> dict:
+    """Run one phase in THIS process, returning a structured result dict."""
+    fault = os.environ.get("BENCH_FORCE_FAULT", "")
+    # forced-fault hook for the recovery test: "phase:n_failures"; the
+    # orchestrator exports BENCH_ATTEMPT so early attempts can be failed
+    if fault:
+        f_phase, n_fail = fault.split(":")
+        if f_phase == phase and int(os.environ.get("BENCH_ATTEMPT", "0")) < int(n_fail):
+            raise RuntimeError(
+                "FAILED_PRECONDITION: TPU backend error (forced fault)")
+    if phase in ("bf16", "f32"):
+        dtype = "bfloat16" if phase == "bf16" else "float32"
+        return _measure_train(dtype, tiny)
+    if phase == "scen":
+        return _measure_scenarios(tiny)
+    raise ValueError(f"unknown phase {phase!r}")
+
+
+def _phase_main(phase: str, tiny: bool) -> int:
+    """Subprocess entry: print one structured JSON line, always exit 0 unless
+    the process itself crashed (orchestrator treats a missing line as a
+    backend-class failure)."""
+    try:
+        res = run_phase(phase, tiny)
+        print(json.dumps({"ok": True, **res}))
+    except BaseException as e:  # noqa: BLE001 — structured report
+        print(json.dumps({
+            "ok": False, "kind": _classify(e),
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+def _spawn_phase(phase: str, attempt: int, tiny: bool) -> dict:
+    """Run one phase in a FRESH interpreter (a dead TPU client cannot poison
+    the next attempt); returns the parsed structured result."""
+    env = dict(os.environ)
+    env["BENCH_ATTEMPT"] = str(attempt)
+    cmd = [sys.executable, os.path.abspath(__file__), "--phase", phase]
+    if tiny:
+        cmd.append("--tiny")
+    try:
+        proc = subprocess.run(
+            cmd, env=env, capture_output=True, text=True,
+            timeout=PHASE_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "kind": "backend",
+                "error": f"phase {phase} timed out after {PHASE_TIMEOUT_S}s"}
+    line = next(
+        (ln for ln in reversed(proc.stdout.strip().splitlines())
+         if ln.startswith("{")), None,
+    )
+    if line is None:
+        return {"ok": False, "kind": "backend",
+                "error": (f"phase {phase} rc={proc.returncode} no JSON; "
+                          f"stderr: {proc.stderr[-400:]}")}
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        return {"ok": False, "kind": "backend",
+                "error": f"phase {phase} unparseable output: {line[:200]}"}
+
+
+def run_with_retries(phase: str, tiny: bool, spawn=_spawn_phase) -> dict:
+    last = {"ok": False, "kind": "backend", "error": "never ran"}
+    for attempt in range(MAX_ATTEMPTS):
+        res = spawn(phase, attempt, tiny)
+        if res.get("ok"):
+            res["attempts"] = attempt + 1
+            return res
+        last = res
+        if res.get("kind") != "backend":
+            break  # nonfinite/other: a real result, retrying cannot fix it
+        print(f"# bench: phase {phase} attempt {attempt + 1} failed "
+              f"({res.get('error', '')[:120]}); retrying in fresh process",
+              file=sys.stderr)
+    last["attempts"] = attempt + 1
+    return last
+
+
+def orchestrate(tiny: bool = False, spawn=_spawn_phase) -> tuple[dict, int]:
+    """Assemble the one-line JSON from per-phase subprocess runs.
+
+    Returns (report, exit_code).  exit_code is non-zero only when the
+    headline could not be measured at all.
+    """
+    results = {ph: run_with_retries(ph, tiny, spawn) for ph in PHASES}
+
+    extras: dict = {"compute_dtype": "bfloat16"}
+    rc = 0
+    bf16, f32, scen = results["bf16"], results["f32"], results["scen"]
+    if bf16.get("ok"):
+        value = bf16["value"]
+        extras["device"] = bf16.get("device", "")
+    elif f32.get("ok"):
+        # headline falls back to the secondary precision rather than vanish
+        value = f32["value"]
+        extras["compute_dtype"] = "float32"
+        extras["device"] = f32.get("device", "")
+        extras["bf16_error"] = bf16.get("error", "")
+    else:
+        value, rc = 0.0, 1
+        extras["bf16_error"] = bf16.get("error", "")
+    if f32.get("ok"):
+        extras["f32_steps_per_sec"] = f32["value"]
+    else:
+        extras["f32_error"] = f32.get("error", "")
+    if scen.get("ok"):
+        extras["scenarios_per_sec_batch1000"] = scen["value"]
+    else:
+        extras["scen_error"] = scen.get("error", "")
+    extras["attempts"] = {ph: results[ph].get("attempts", 0) for ph in PHASES}
+    extras["samples_per_sec"] = round(value * 32 * 6, 1)
+
+    report = {
         "metric": "fused_wgangp_train_steps_per_sec_ndomain16_batch32",
-        "value": round(steps_per_sec, 3),
+        "value": value,
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC_ESTIMATE, 2),
-        "extras": {
-            "scenarios_per_sec_batch1000": round(scen_per_sec, 1),
-            "device": str(jax.devices()[0]),
-            "samples_per_sec": round(steps_per_sec * batch_size * 6, 1),
-            "bf16_steps_per_sec": round(bf16_steps_per_sec, 3),
-            # recorded round-2 evidence runs, NOT re-measured here (see
-            # docs/PERF.md; scripts/sustained_run_tpu.py, exp_crps_r2.py)
-            "recorded_sustained_steps_per_sec_r2": 60.4,
-            "recorded_crps_protocol_samples_per_sec_r2": 20.7,
-        },
-    }))
+        "vs_baseline": round(value / REFERENCE_STEPS_PER_SEC_ESTIMATE, 2),
+        "extras": extras,
+    }
+    return report, rc
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=PHASES, default=None,
+                    help="(internal) run one measurement phase in-process")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model for orchestration tests — NOT a benchmark")
+    args = ap.parse_args(argv)
+    if args.phase:
+        return _phase_main(args.phase, args.tiny)
+    report, rc = orchestrate(tiny=args.tiny)
+    print(json.dumps(report))
+    return rc
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -103,8 +103,9 @@ class PretrainedGenerator:
         # fractions -> mm/h: multiply by the (unnormalized) daily sum
         return fractions * cond_norm.squeeze(-1)[None, None] * self.norm_scale
 
-    def plot_scenarios(self, scenarios: np.ndarray):
-        return plot_scenarios(scenarios)
+    def plot_scenarios(self, scenarios: np.ndarray,
+                       hour_labels: str = "reference"):
+        return plot_scenarios(scenarios, hour_labels=hour_labels)
 
 
 def generate_scenarios(gen: PretrainedGenerator, cond, n_scenarios: int):
@@ -112,14 +113,25 @@ def generate_scenarios(gen: PretrainedGenerator, cond, n_scenarios: int):
     return gen.generate_scenarios(cond, n_scenarios)
 
 
-def plot_scenarios(scenarios: np.ndarray):
-    """n x 24 map grid, parity with raindisagg_gan_pretrained.py:68-90."""
+def plot_scenarios(scenarios: np.ndarray, hour_labels: str = "reference"):
+    """n x 24 map grid, parity with raindisagg_gan_pretrained.py:68-90.
+
+    hour_labels="reference" (default) reproduces the reference's off-by-one
+    panel indexing bug-for-bug: panel ``jplot`` shows ``scenarios[:,
+    jplot-1]`` under the label ``{jplot:02d}:00``, so the column labeled
+    00:00 displays hour 23 (raindisagg_gan_pretrained.py:80 uses
+    ``plotidx-1`` with 1-based plotidx; documented in docs/DESIGN.md §8).
+    hour_labels="aligned" shows hour ``jplot`` under label ``{jplot:02d}:00``.
+    """
     import matplotlib
 
     matplotlib.use("agg")
     import matplotlib.pyplot as plt
     from matplotlib.colors import LogNorm
 
+    if hour_labels not in ("reference", "aligned"):
+        raise ValueError(f"unknown hour_labels {hour_labels!r}")
+    shift = -1 if hour_labels == "reference" else 0
     scenarios = np.asarray(scenarios)
     nrows = len(scenarios)
     fig = plt.figure(figsize=(24, nrows))
@@ -135,7 +147,7 @@ def plot_scenarios(scenarios: np.ndarray):
                     size="large", ha="center", va="baseline",
                 )
             im = plt.imshow(
-                scenarios[iplot, jplot - 1, :, :],
+                scenarios[iplot, jplot + shift, :, :],
                 cmap=plt.cm.gist_earth_r, norm=LogNorm(vmin=0.01, vmax=50),
             )
             plt.axis("off")

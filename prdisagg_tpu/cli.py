@@ -6,6 +6,8 @@ same typed configs:
 
   python -m prdisagg_tpu.cli train        --synthetic --epochs 2
   python -m prdisagg_tpu.cli train        --data d.npy --indices i.pkl
+  python -m prdisagg_tpu.cli train        --synthetic --f32-parity
+  python -m prdisagg_tpu.cli reformat-nc  --nc-dir netcdf/ --out tensor
   python -m prdisagg_tpu.cli compute-indices --data d.npy
   python -m prdisagg_tpu.cli evaluate     --weights gen.npz --data d.npy --indices i.pkl
   python -m prdisagg_tpu.cli crps         --weights gen.npz ...
@@ -83,6 +85,7 @@ def cmd_train(args):
 
     dcfg = _data_config(args)
     ds, dcfg = _load_dataset(args, dcfg)
+    compute_dtype = "float32" if args.f32_parity else args.compute_dtype
     exp = ExperimentConfig(
         data=dcfg,
         train=TrainConfig(
@@ -90,6 +93,7 @@ def cmd_train(args):
             n_disc=args.n_disc, seed=args.seed,
         ),
         name=args.name,
+        compute_dtype=compute_dtype,
     )
     warm = None
     if args.warm_start_gen:
@@ -119,6 +123,26 @@ def cmd_compute_indices(args):
     with open(out, "wb") as f:
         pickle.dump([tuple(r) for r in idx], f)
     print(f"found {len(idx)} valid samples -> {out}")
+
+
+def cmd_reformat_nc(args):
+    """Reformat per-day netCDF intermediates (reference convert-stage output,
+    convert_smhi_radardata.py:45) into the training tensor — the TPU-native
+    reformat_data.py with O(one day) memory instead of ~363 GB."""
+    from prdisagg_tpu.data.ingest import save_training_tensor
+    from prdisagg_tpu.data.netcdf_io import find_day_files, reformat_from_netcdf
+
+    dcfg = _data_config(args)
+    paths = find_day_files(args.nc_dir, dcfg.startdate, dcfg.enddate)
+    if not paths:
+        sys.exit(f"no smhi_radar_YYYYMMDD.nc files in {args.nc_dir} "
+                 f"within {dcfg.startdate}..{dcfg.enddate}")
+    tensor = reformat_from_netcdf(paths, tres=dcfg.tres)
+    prefix = args.out or os.path.splitext(dcfg.data_filename())[0]
+    os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+    save_training_tensor(prefix, tensor)
+    print(f"reformatted {len(paths)} days -> {prefix}.npy "
+          f"shape {tensor.shape}")
 
 
 def _load_generator(args, model_cfg=None):
@@ -299,7 +323,23 @@ def build_parser():
                    default=None)
     t.add_argument("--start-epoch", dest="start_epoch", type=int, default=0,
                    help="epoch-label offset for continued runs")
+    t.add_argument("--compute-dtype", dest="compute_dtype",
+                   choices=["bfloat16", "float32"], default=None,
+                   help="conv/matmul precision (params + conservation "
+                        "softmax are always float32); default bfloat16")
+    t.add_argument("--f32-parity", dest="f32_parity", action="store_true",
+                   help="strict reference-protocol precision (the reference "
+                        "trains implicit float32); same as "
+                        "--compute-dtype float32")
     t.set_defaults(fn=cmd_train)
+
+    rn = sub.add_parser("reformat-nc", help="per-day .nc intermediates -> "
+                        "training tensor (reference reformat_data.py stage)")
+    _add_data_args(rn, with_dataset=False)
+    rn.add_argument("--nc-dir", dest="nc_dir", required=True,
+                    help="directory of smhi_radar_YYYYMMDD.nc files")
+    rn.add_argument("--out", help="output path prefix (.npy/.npz appended)")
+    rn.set_defaults(fn=cmd_reformat_nc)
 
     c = sub.add_parser("compute-indices")
     _add_data_args(c, with_dataset=False)

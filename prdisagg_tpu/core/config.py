@@ -104,9 +104,15 @@ class ModelConfig:
     leak: float = 0.2
     dropout_rate: float = 0.25
     init_stddev: float = 0.02
-    # Numerical policy: parameters and the conservation softmax stay float32;
-    # conv/matmul inputs may run in bfloat16 on the MXU when enabled.
-    compute_dtype: str = "float32"
+    # Numerical policy: parameters and the conservation softmax ALWAYS stay
+    # float32; conv/matmul inputs run in the compute dtype on the MXU.
+    # bfloat16 is the default training protocol (+28% step rate on v5e;
+    # quality proven at the full 50-epoch protocol: conservation exact,
+    # daily-cycle corr 0.985 — docs/PERF.md round 2, artifacts/
+    # bf16_50epoch_quality.txt).  Use "float32" (CLI: --f32-parity) for
+    # strict reference-protocol runs — the reference trains implicit f32
+    # (gan_train_cwgangp_pixelnorm.py:384-392).
+    compute_dtype: str = "bfloat16"
     # True: pixel_norm on a full-f32 tensor (strict round-1 policy).
     # False: f32 accumulation only, activations stay in compute_dtype —
     # removes two full-tensor casts per generator stage (bf16 throughput).
@@ -162,7 +168,12 @@ class TrainConfig:
     # reads in place, 63 steps/s).  Auto picks Pallas when the device tensor
     # exceeds 256 MB.
     pallas_gather: Optional[bool] = None
-    checkpoint_every_epochs: int = 1
+    # Orbax full-state checkpoint cadence.  Every-epoch Orbax + dual-format
+    # exports dragged sustained throughput to ~30 steps/s on a 1-core host
+    # (docs/PERF.md round 2) — the reference only writes .h5 weights per
+    # epoch (gan_train_cwgangp_pixelnorm.py:520-521); 10 keeps exact-resume
+    # granularity without self-harming the loop.
+    checkpoint_every_epochs: int = 10
     log_every_steps: int = 50
     # data-parallel mesh size; None = use all local devices
     n_data_devices: Optional[int] = None
@@ -219,14 +230,20 @@ class ExperimentConfig:
     name: str = "wgancp_pixelnorm"
     # set to override the derived architecture (e.g. shrunken test models)
     model_override: Optional[ModelConfig] = None
+    # None = ModelConfig default (bfloat16); "float32" = strict reference
+    # precision (CLI --f32-parity)
+    compute_dtype: Optional[str] = None
 
     def model(self) -> ModelConfig:
         if self.model_override is not None:
             return self.model_override
+        kw = {} if self.compute_dtype is None else {
+            "compute_dtype": self.compute_dtype}
         return ModelConfig(
             ndomain=self.data.ndomain,
             nhours=self.data.nhours,
             n_cond_channels=self.data.n_cond_channels,
+            **kw,
         )
 
 

@@ -39,16 +39,22 @@ class DeviceDataset:
     data: jax.Array            # (days, nhours, ny, nx) float32
     indices: jax.Array         # (S, 3) int32 rows (tidx, yidx, xidx)
     doy: Optional[jax.Array]   # (days,) float32 day-of-year sidecar, or None
+    # (days, ny, nx) precomputed daily sums: cond-only draws (the generator
+    # update's condition half) gather from this 1/24-size tensor instead of
+    # full hourly patches — 24x fewer HBM bytes per cond sample (VERDICT
+    # round-3 item 9; reference gathers full windows either way,
+    # gan_train_cwgangp_pixelnorm.py:177-193)
+    dsum: Optional[jax.Array]
     cfg: DataConfig
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
-        return (self.data, self.indices, self.doy), self.cfg
+        return (self.data, self.indices, self.doy, self.dsum), self.cfg
 
     @classmethod
     def tree_unflatten(cls, cfg, children):
-        data, indices, doy = children
-        return cls(data=data, indices=indices, doy=doy, cfg=cfg)
+        data, indices, doy, dsum = children
+        return cls(data=data, indices=indices, doy=doy, dsum=dsum, cfg=cfg)
 
     # -- constructors --------------------------------------------------------
     @classmethod
@@ -72,10 +78,12 @@ class DeviceDataset:
         ):
             pad = 128 - data.shape[-1] % 128
             data = np.pad(data, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        dev_data = jnp.asarray(data)
         return cls(
-            data=jnp.asarray(data),
+            data=dev_data,
             indices=jnp.asarray(indices, dtype=jnp.int32),
             doy=None if doy is None else jnp.asarray(doy, dtype=jnp.float32),
+            dsum=jnp.sum(dev_data, axis=1),
             cfg=cfg,
         )
 
@@ -191,8 +199,29 @@ class DeviceDataset:
     def sample_cond(self, key: jax.Array, n_batch: int,
                     allow_pallas=None, mesh=None) -> jax.Array:
         """Random conditions only — reference `generate_latent_points`'s
-        condition half (gan_train_cwgangp_pixelnorm.py:177-193)."""
-        _, cond = self.sample_real(key, n_batch, allow_pallas, mesh)
+        condition half (gan_train_cwgangp_pixelnorm.py:177-193).
+
+        Gathers (nd, nd) windows from the precomputed daily-sum tensor
+        instead of full (nhours, nd, nd) patches: identical values (the
+        condition IS the hour-sum), 24x fewer HBM bytes.  Index draw uses
+        the same key stream as :meth:`sample_real`, so the sampled
+        conditions match the full-patch path draw-for-draw.
+        """
+        if self.dsum is None:  # restored from an old checkpointed pytree
+            _, cond = self.sample_real(key, n_batch, allow_pallas, mesh)
+            return cond
+        ix = jax.random.randint(key, (n_batch,), 0, self.n_samples)
+        idx = self.indices[ix]
+        nd = self.cfg.ndomain
+
+        def one(t, y, x):
+            return jax.lax.dynamic_slice(self.dsum, (t, y, x), (1, nd, nd))[0]
+
+        dsum = jax.vmap(one)(idx[:, 0], idx[:, 1], idx[:, 2])[..., None]
+        cond = dsum / self.cfg.norm_scale
+        if self.cfg.conditioning != Conditioning.BASE:
+            cond = jnp.concatenate(
+                [cond, *self._extra_cond_channels(idx)], axis=-1)
         return cond
 
     def sample_latent(self, key: jax.Array, n_batch: int, latent_dim: int,

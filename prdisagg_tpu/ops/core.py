@@ -82,6 +82,13 @@ def spatial_constraint(x: jax.Array, axis: "str | None",
         return x
     from jax.sharding import PartitionSpec as P
 
+    # honor the "too small to shard" promise: late critic stages shrink y to
+    # a few pixels; constraining them to an over-sharded spec would force XLA
+    # into degenerate halo exchanges.  The ambient mesh (set_mesh/use_mesh)
+    # carries the axis size at trace time.
+    mesh = jax.sharding.get_abstract_mesh()
+    if axis in getattr(mesh, "shape", {}) and x.shape[y_dim] < mesh.shape[axis]:
+        return x
     spec = [None] * x.ndim
     spec[y_dim] = axis
     return jax.lax.with_sharding_constraint(x, P(*spec))

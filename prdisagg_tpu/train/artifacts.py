@@ -41,7 +41,10 @@ class ArtifactWriter:
 
     def __init__(self, name: str = "artifact-writer"):
         self._q: queue.Queue = queue.Queue()
-        self._error: Optional[BaseException] = None
+        # every failed job is kept (two queued jobs can both fail before the
+        # next submit/flush — e.g. an Orbax save then a matplotlib plot; the
+        # first failure must not be masked by the second)
+        self._errors: list[BaseException] = []
         self._thread = threading.Thread(target=self._run, name=name,
                                         daemon=True)
         self._thread.start()
@@ -54,14 +57,17 @@ class ArtifactWriter:
                     return
                 job()
             except BaseException as e:  # noqa: BLE001 — reported on flush
-                self._error = e
+                self._errors.append(e)
             finally:
                 self._q.task_done()
 
     def _check_error(self):
-        if self._error is not None:
-            err, self._error = self._error, None
-            raise RuntimeError("artifact writer job failed") from err
+        if self._errors:
+            errs, self._errors = self._errors, []
+            msg = "; ".join(f"{type(e).__name__}: {e}" for e in errs)
+            raise RuntimeError(
+                f"{len(errs)} artifact writer job(s) failed: {msg}"
+            ) from errs[0]
 
     def submit(self, job: Callable[[], None]) -> None:
         """Enqueue a no-arg callable.  Raises if a previous job failed."""

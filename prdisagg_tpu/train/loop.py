@@ -6,9 +6,12 @@ differences:
 
 * one jitted fused step per iteration instead of 6 `train_on_batch` calls,
 * metrics come back as a device dict; history -> hist.csv like the reference,
-* Orbax checkpoints of the FULL state (exact resume) every epoch, plus
-  reference-style per-epoch generator/critic .npz weight exports with the
-  params-string filenames,
+* per-epoch generator/critic .h5 weight exports with the params-string
+  filenames (exactly the reference's cadence and format,
+  gan_train_cwgangp_pixelnorm.py:520-521; .npz native exports opt-in via
+  export_format), plus Orbax checkpoints of the FULL state (exact resume)
+  every `checkpoint_every_epochs` (default 10 — every-epoch Orbax measurably
+  starved the loop on 1-core hosts, docs/PERF.md round 2),
 * the increasing-batch-size schedule recompiles the step per stage (the
   schedule list is tiny, gan_train_cwgangp_pixelnorm.py:73-74,524-529).
 """
@@ -53,7 +56,7 @@ class Trainer:
         export_weights_every_epochs: int = 1,
         on_epoch_end: Optional[Callable] = None,
         async_artifacts: bool = True,
-        export_format: str = "both",
+        export_format: str = "h5",
         warm_start_weights: Optional[tuple] = None,
         start_epoch: int = 0,
     ):

@@ -68,22 +68,61 @@ def create_train_state(
 
 
 def warm_start(
-    model_cfg: ModelConfig,
+    model_cfg: ModelConfig | None,
     train_cfg: TrainConfig,
     gen_weights: str,
     critic_weights: str | None = None,
 ) -> tuple[GANTrainState, Generator, Critic]:
     """Build a training state warm-started from saved weights — the
-    reference's continue-training workflow (it reloads only weights, resets
-    optimizers; gan_train_cwgangp_pixelnorm.py:520-529 + start_epoch).
+    reference's continue-training workflow (it reloads BOTH nets from .h5
+    with fresh optimizers; gan_train_cwgangp_pixelnorm.py:520-529 +
+    start_epoch).
 
-    Weight files may be native .npz exports or reference Keras .h5.
+    Weight files may be native .npz exports or reference Keras .h5.  With
+    model_cfg=None the architecture is inferred from the generator weights
+    (models.io.infer_generator_config; base conditioning assumed — pass an
+    explicit config for doy/lon variants).
     """
     from prdisagg_tpu.models.io import (
+        infer_generator_config,
         load_keras_critic_h5,
         load_keras_generator_h5,
         load_params_npz,
     )
+
+    if model_cfg is None:
+        import dataclasses
+
+        from prdisagg_tpu.models.io import infer_critic_config
+
+        # the critic's conv0 input channels pin n_cond_channels exactly —
+        # the one thing generator-weight inference cannot see (doy/lon
+        # variants) — so infer the critic FIRST when its weights exist
+        critic_params = None
+        if critic_weights is not None:
+            if critic_weights.endswith(".h5"):
+                critic_params = load_keras_critic_h5(critic_weights, None)
+            else:
+                critic_params = load_params_npz(critic_weights)
+            # conv0's input channels pin n_cond_channels exactly — the one
+            # thing generator-weight inference cannot see (doy/lon variants)
+            n_cond = infer_critic_config(critic_params).n_cond_channels
+        else:
+            n_cond = 1
+        if gen_weights.endswith(".h5"):
+            gen_params = load_keras_generator_h5(
+                gen_weights, None, n_cond_channels=n_cond)
+        else:
+            gen_params = load_params_npz(gen_weights)
+        model_cfg = infer_generator_config(gen_params, n_cond_channels=n_cond)
+        if critic_params is not None:
+            # validates the critic against the generator-derived domain
+            # (the score dim alone is ambiguous in ndomain) and recovers
+            # the stage widths
+            ccfg = infer_critic_config(critic_params,
+                                       ndomain=model_cfg.ndomain)
+            model_cfg = dataclasses.replace(
+                model_cfg, critic_channels=ccfg.critic_channels)
 
     state, gen, critic = create_train_state(model_cfg, train_cfg)
     if gen_weights.endswith(".h5"):

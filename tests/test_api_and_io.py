@@ -146,13 +146,25 @@ def test_keras_h5_export_group_structure(tmp_path):
         seq = mw["sequential"]
         wn = [n.decode() for n in seq.attrs["weight_names"]]
         # Keras creation order: dense first, then conv3d .. conv3d_3,
-        # kernel before bias
-        assert wn[0] == "dense/kernel:0" and wn[1] == "dense/bias:0"
-        assert wn[2] == "conv3d/kernel:0"
-        assert wn[-2] == "conv3d_3/kernel:0" and wn[-1] == "conv3d_3/bias:0"
+        # kernel before bias; nested-model paths repeat the inner model name
+        # (model_weights/sequential/sequential/<layer>/<w>:0) like TF's writer
+        assert wn[0] == "sequential/dense/kernel:0"
+        assert wn[1] == "sequential/dense/bias:0"
+        assert wn[2] == "sequential/conv3d/kernel:0"
+        assert wn[-2] == "sequential/conv3d_3/kernel:0"
+        assert wn[-1] == "sequential/conv3d_3/bias:0"
         for name in wn:
             assert name in seq, name
             assert seq[name].dtype == np.float32
+        # a loadable TF-2.1-style model_config rides along (ADVICE round-2;
+        # real-TF validation in tests/test_keras_load_model.py)
+        import json
+
+        cfg_json = json.loads(f.attrs["model_config"])
+        assert cfg_json["class_name"] == "Model"
+        names = [l["name"] for l in cfg_json["config"]["layers"]]
+        assert names == ["input_1", "input_2", "flatten", "concatenate",
+                         "sequential"]
 
 
 def test_generate_scenarios_semantics():
@@ -227,3 +239,101 @@ def test_architecture_inference_from_weights(tmp_path):
         assert pg.cfg.ndomain == 16 and pg.cfg.latent_dim == 8
         out = pg.generate_scenarios(10 * np.ones((16, 16, 1)), 2)
         assert out.shape == (2, 24, 16, 16)
+
+
+def test_critic_config_inference(tmp_path):
+    """infer_critic_config reconstructs EVERYTHING from critic weights —
+    including n_cond_channels, which generator inference cannot see
+    (VERDICT round-3 item 7; reference continue-training workflow
+    gan_train_cwgangp_pixelnorm.py:520-521)."""
+    from prdisagg_tpu.models.io import infer_critic_config
+
+    for cfg in (
+        TINY,
+        ModelConfig(ndomain=32, latent_dim=12, gen_channels=(8, 8, 8),
+                    base_channels=8, critic_channels=(8, 16, 16, 8)),
+        ModelConfig(ndomain=16, latent_dim=8, n_cond_channels=3,
+                    gen_channels=(8, 8, 8), base_channels=8,
+                    critic_channels=(8, 8, 8, 8)),
+    ):
+        state, _, _ = create_train_state(cfg, TrainConfig(seed=40))
+        inferred = infer_critic_config(state.critic_params)
+        assert inferred.ndomain == cfg.ndomain
+        assert inferred.n_cond_channels == cfg.n_cond_channels
+        assert inferred.critic_channels == cfg.critic_channels
+
+    # cfg-free .h5 load validates against the inferred architecture
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=41))
+    p = str(tmp_path / "disc.h5")
+    save_keras_critic_h5(p, state.critic_params, TINY)
+    loaded = load_keras_critic_h5(p)  # no config at all
+    _assert_trees_equal(state.critic_params, loaded)
+
+
+def test_warm_start_infers_architecture(tmp_path):
+    """warm_start(model_cfg=None) rebuilds the full config from BOTH weight
+    files; the critic's conv0 channels disambiguate doy-variant weights."""
+    from prdisagg_tpu.train.state import warm_start
+
+    doy_cfg = ModelConfig(ndomain=16, latent_dim=8, n_cond_channels=3,
+                          gen_channels=(8, 8, 8), base_channels=8,
+                          critic_channels=(8, 8, 8, 8))
+    state, _, _ = create_train_state(doy_cfg, TrainConfig(seed=42))
+    gp = str(tmp_path / "gen.h5")
+    cp = str(tmp_path / "disc.h5")
+    save_keras_generator_h5(gp, state.gen_params, doy_cfg)
+    save_keras_critic_h5(cp, state.critic_params, doy_cfg)
+
+    new_state, gen, critic = warm_start(None, TrainConfig(seed=0), gp, cp)
+    assert gen.cfg.n_cond_channels == 3       # from the critic's conv0
+    assert gen.cfg.latent_dim == 8            # NOT 8 + 16*16*2
+    assert gen.cfg.ndomain == 16
+    _assert_trees_equal(state.gen_params, new_state.gen_params)
+    _assert_trees_equal(state.critic_params, new_state.critic_params)
+
+    # warm-started nets must run a forward pass
+    out = gen.apply(new_state.gen_params,
+                    np.zeros((2, 8), "f4"), np.zeros((2, 16, 16, 3), "f4"))
+    assert out.shape == (2, 24, 16, 16, 1)
+
+
+def test_warm_start_inference_mismatch_raises(tmp_path):
+    from prdisagg_tpu.train.state import warm_start
+
+    s16, _, _ = create_train_state(TINY, TrainConfig(seed=43))
+    big = ModelConfig(ndomain=32, latent_dim=8, gen_channels=(8, 8, 8),
+                      base_channels=8, critic_channels=(8, 8, 8, 8))
+    s32, _, _ = create_train_state(big, TrainConfig(seed=44))
+    gp = str(tmp_path / "gen16.h5")
+    cp = str(tmp_path / "disc32.h5")
+    save_keras_generator_h5(gp, s16.gen_params, TINY)
+    save_keras_critic_h5(cp, s32.critic_params, big)
+    with pytest.raises(ValueError, match="ndomain"):
+        warm_start(None, TrainConfig(seed=0), gp, cp)
+
+
+def test_plot_scenarios_hour_label_modes():
+    """Default reproduces the reference's off-by-one panel indexing
+    (panel 0 labeled 00:00 shows hour 23, raindisagg_gan_pretrained.py:80);
+    hour_labels="aligned" opts into correct alignment (docs/DESIGN.md §8)."""
+    import matplotlib
+
+    matplotlib.use("agg")
+    from prdisagg_tpu.api.pretrained import plot_scenarios
+
+    scen = np.zeros((1, 24, 4, 4), dtype=np.float32)
+    for h in range(24):
+        scen[0, h] = h + 1.0  # identify each hour by its constant value
+
+    def first_panel(fig):  # first axes that actually holds an image
+        ax = next(a for a in fig.axes if a.images)
+        return np.asarray(ax.images[0].get_array())
+
+    fig_ref = plot_scenarios(scen)
+    assert first_panel(fig_ref)[0, 0] == 24.0  # hour 23 under 00:00 label
+
+    fig_al = plot_scenarios(scen, hour_labels="aligned")
+    assert first_panel(fig_al)[0, 0] == 1.0  # hour 0 under the 00:00 label
+
+    with pytest.raises(ValueError, match="hour_labels"):
+        plot_scenarios(scen, hour_labels="bogus")

@@ -1,0 +1,121 @@
+"""bench.py fault-tolerance tests (VERDICT round-3 item 1).
+
+The round-2 driver bench was erased by ONE transient FAILED_PRECONDITION
+tunnel fault because bench.py had no retry.  These tests pin the new
+contract: backend faults are retried in fresh subprocesses, genuine
+non-finite losses are NOT retried, and the one-line JSON is emitted even
+when secondary phases fail.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _fake_spawn(script):
+    """spawn(phase, attempt, tiny) stub driven by a {phase: [result, ...]}
+    script; attempts beyond the script length repeat the last entry."""
+    calls = []
+
+    def spawn(phase, attempt, tiny):
+        calls.append((phase, attempt))
+        seq = script[phase]
+        return dict(seq[min(attempt, len(seq) - 1)])
+
+    spawn.calls = calls
+    return spawn
+
+
+OK_BF16 = {"ok": True, "value": 96.0, "device": "cpu"}
+OK_F32 = {"ok": True, "value": 75.0, "device": "cpu"}
+OK_SCEN = {"ok": True, "value": 15000.0}
+BACKEND_FAIL = {"ok": False, "kind": "backend",
+                "error": "JaxRuntimeError: FAILED_PRECONDITION: TPU backend error"}
+NONFINITE = {"ok": False, "kind": "nonfinite", "error": "non-finite loss"}
+
+
+def test_backend_fault_retried_and_recovered():
+    spawn = _fake_spawn({
+        "bf16": [BACKEND_FAIL, BACKEND_FAIL, OK_BF16],
+        "f32": [OK_F32],
+        "scen": [OK_SCEN],
+    })
+    report, rc = bench.orchestrate(spawn=spawn)
+    assert rc == 0
+    assert report["value"] == 96.0
+    assert report["extras"]["attempts"]["bf16"] == 3
+    assert report["extras"]["f32_steps_per_sec"] == 75.0
+    assert report["extras"]["compute_dtype"] == "bfloat16"
+    # each retry was a separate (fresh-process) spawn call
+    assert [c for c in spawn.calls if c[0] == "bf16"] == [
+        ("bf16", 0), ("bf16", 1), ("bf16", 2)]
+
+
+def test_nonfinite_not_retried():
+    spawn = _fake_spawn({
+        "bf16": [NONFINITE, OK_BF16],  # would succeed if (wrongly) retried
+        "f32": [OK_F32],
+        "scen": [OK_SCEN],
+    })
+    report, rc = bench.orchestrate(spawn=spawn)
+    # nonfinite is a real result: bf16 reported failed, headline falls back
+    assert [c for c in spawn.calls if c[0] == "bf16"] == [("bf16", 0)]
+    assert rc == 0
+    assert report["value"] == 75.0
+    assert report["extras"]["compute_dtype"] == "float32"
+    assert "non-finite" in report["extras"]["bf16_error"]
+
+
+def test_secondary_failure_still_emits_headline():
+    spawn = _fake_spawn({
+        "bf16": [OK_BF16],
+        "f32": [BACKEND_FAIL],
+        "scen": [BACKEND_FAIL],
+    })
+    report, rc = bench.orchestrate(spawn=spawn)
+    assert rc == 0
+    assert report["value"] == 96.0
+    assert "FAILED_PRECONDITION" in report["extras"]["f32_error"]
+    assert "FAILED_PRECONDITION" in report["extras"]["scen_error"]
+    # secondary backend faults were still retried the full budget
+    assert report["extras"]["attempts"]["f32"] == bench.MAX_ATTEMPTS
+
+
+def test_total_failure_emits_parseable_line_rc1():
+    spawn = _fake_spawn({ph: [BACKEND_FAIL] for ph in bench.PHASES})
+    report, rc = bench.orchestrate(spawn=spawn)
+    assert rc == 1
+    assert report["value"] == 0.0
+    json.dumps(report)  # one parseable line no matter what
+
+
+def test_classify():
+    assert bench._classify(bench.NonFiniteLoss("x")) == "nonfinite"
+    assert bench._classify(RuntimeError("FAILED_PRECONDITION: dead")) == "backend"
+    assert bench._classify(ValueError("bad arg")) == "other"
+
+
+def test_forced_fault_end_to_end_subprocess():
+    """Real subprocess run (tiny model, CPU): the first bf16 attempt raises a
+    forced backend fault; the orchestrator must recover in a fresh process
+    and still print the one-line JSON with rc 0."""
+    env = dict(os.environ)
+    env["BENCH_FORCE_FAULT"] = "bf16:1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("BENCH_ATTEMPT", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--tiny"],
+        env=env, capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    report = json.loads(line)
+    assert report["value"] > 0
+    assert report["extras"]["attempts"]["bf16"] == 2  # fault + recovery
+    assert report["extras"]["attempts"]["f32"] == 1

@@ -16,7 +16,10 @@ def test_cli_train_synthetic(tmp_path, monkeypatch):
         "--n-disc", "1", "--steps-per-epoch", "2",
         "--workdir", str(tmp_path), "--name", "clismoke",
     ])
-    assert glob.glob(str(tmp_path / "trained_models" / "clismoke" / "gen_*.npz"))
+    # default export is the reference's .h5-only cadence (round 3)
+    assert glob.glob(str(tmp_path / "trained_models" / "clismoke" / "gen_*.h5"))
+    assert not glob.glob(
+        str(tmp_path / "trained_models" / "clismoke" / "gen_*.npz"))
     assert (tmp_path / "hist.csv").exists()
 
 

@@ -92,3 +92,40 @@ def test_sampler_doy_and_lon_channels(synthetic_dataset):
     assert cond.shape == (4, 16, 16, 2)
     lon = np.asarray(cond[..., 1])
     assert lon.min() >= 0.0 and lon.max() <= 1.0
+
+
+def test_sample_cond_daily_sum_gather_matches_full_path(synthetic_dataset):
+    """The cond-only draw gathers from the precomputed daily-sum tensor
+    (24x fewer HBM bytes) but must match the full-patch path draw-for-draw:
+    same key => same indices => same condition values (VERDICT round-3
+    item 9; reference semantics gan_train_cwgangp_pixelnorm.py:177-193)."""
+    import dataclasses as _dc
+
+    import jax
+
+    from prdisagg_tpu.data.sampler import DeviceDataset
+
+    data, indices, dcfg = synthetic_dataset
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    assert ds.dsum is not None and ds.dsum.shape == ds.data.shape[:1] + \
+        ds.data.shape[2:]
+    key = jax.random.PRNGKey(77)
+    cond_fast = np.asarray(ds.sample_cond(key, 16))
+    _, cond_full = ds.sample_real(key, 16)
+    np.testing.assert_allclose(cond_fast, np.asarray(cond_full),
+                               rtol=1e-6, atol=1e-6)
+
+    # doy-conditioned variant keeps its extra channels on the fast path
+    doy = np.linspace(1, 300, data.shape[0]).astype(np.float32)
+    dcfg_doy = _dc.replace(dcfg, conditioning="doy")
+    ds_doy = DeviceDataset.from_numpy(data, indices, dcfg_doy, doy=doy)
+    c = np.asarray(ds_doy.sample_cond(key, 8))
+    assert c.shape[-1] == 3
+    _, c_full = ds_doy.sample_real(key, 8)
+    np.testing.assert_allclose(c, np.asarray(c_full), rtol=1e-6, atol=1e-6)
+
+    # legacy pytrees restored without dsum fall back to the full gather
+    ds_legacy = DeviceDataset(data=ds.data, indices=ds.indices, doy=None,
+                              dsum=None, cfg=dcfg)
+    c_legacy = np.asarray(ds_legacy.sample_cond(key, 16))
+    np.testing.assert_allclose(c_legacy, cond_fast, rtol=1e-6, atol=1e-6)

@@ -28,8 +28,11 @@ SMALL_MODEL = ModelConfig(
 def _tiny_exp():
     return ExperimentConfig(
         data=DataConfig(),
+        # checkpoint_every_epochs=1: these tests exercise exact resume, not
+        # the production cadence (default 10, pinned in
+        # test_default_cadence_matches_reference)
         train=TrainConfig(n_disc=1, schedule=((2, 4),), seed=3,
-                          log_every_steps=1),
+                          log_every_steps=1, checkpoint_every_epochs=1),
         name="smoke",
         model_override=SMALL_MODEL,
     )
@@ -43,7 +46,7 @@ def tiny_trainer_run(tmp_path_factory):
     exp = _tiny_exp()
     ds = DeviceDataset.from_numpy(data, indices, dcfg)
     tr = Trainer(exp, ds, workdir=workdir, use_mesh=False, steps_per_epoch=2,
-                 plot_every_epochs=2)
+                 plot_every_epochs=2, export_format="both")
     hist = tr.fit(progress=False)
     return tr, hist, workdir, exp, ds
 
@@ -60,8 +63,21 @@ def test_loop_trains_and_writes_artifacts(tiny_trainer_run):
     assert plots, "per-epoch sample grid missing"
 
 
+def test_default_cadence_matches_reference():
+    """Round-3 defaults (VERDICT item 3): per-epoch exports are .h5 only —
+    exactly the reference's cadence and format
+    (gan_train_cwgangp_pixelnorm.py:520-521) — and Orbax full-state
+    checkpoints run every 10 epochs (every-epoch Orbax + dual-format
+    exports measurably starved the loop, docs/PERF.md round 2)."""
+    import inspect
+
+    assert TrainConfig().checkpoint_every_epochs == 10
+    sig = inspect.signature(Trainer.__init__)
+    assert sig.parameters["export_format"].default == "h5"
+
+
 def test_loop_exports_reference_h5_weights(tiny_trainer_run):
-    """export_format='both' (default) also writes the reference-contract
+    """export_format='both' also writes the reference-contract
     .h5 weights each epoch (gan_train_cwgangp_pixelnorm.py:520-521); the
     exports must reload into the live param structure."""
     tr, _, workdir, _, _ = tiny_trainer_run
@@ -84,13 +100,32 @@ def test_artifact_writer_propagates_worker_errors():
 
     w = ArtifactWriter()
     w.submit(lambda: (_ for _ in ()).throw(ValueError("boom")))
-    with pytest.raises(RuntimeError, match="artifact writer job failed"):
+    with pytest.raises(RuntimeError, match="artifact writer job"):
         w.flush()
     # writer stays usable after reporting the error
     done = []
     w.submit(lambda: done.append(1))
     w.flush()
     assert done == [1]
+    w.close()
+
+
+def test_artifact_writer_reports_every_failed_job():
+    """Two queued jobs can both fail before the next flush; the first error
+    must not be masked by the second (ADVICE round-2: e.g. a failed Orbax
+    save hidden behind a later matplotlib error)."""
+    from prdisagg_tpu.train.artifacts import ArtifactWriter
+
+    w = ArtifactWriter()
+    w.submit(lambda: (_ for _ in ()).throw(ValueError("first failure")))
+    w.submit(lambda: (_ for _ in ()).throw(OSError("second failure")))
+    with pytest.raises(RuntimeError) as exc_info:
+        w.flush()
+    msg = str(exc_info.value)
+    assert "2 artifact writer job(s) failed" in msg
+    assert "first failure" in msg and "second failure" in msg
+    # the chained cause is the FIRST error
+    assert isinstance(exc_info.value.__cause__, ValueError)
     w.close()
 
 

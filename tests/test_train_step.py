@@ -20,6 +20,10 @@ def small_setup(request):
         gen_channels=(16, 16, 8),
         base_channels=16,
         critic_channels=(8, 8, 8, 8),
+        # these tests pin exact loss semantics via unjitted external replays;
+        # f32 keeps the comparisons at rtol 1e-4 (bf16 training itself is
+        # covered by tests/test_bf16_quality_gate.py)
+        compute_dtype="float32",
     )
     train_cfg = TrainConfig(n_disc=2, seed=0)
     ds = DeviceDataset.from_numpy(data, indices, dcfg)
