@@ -86,10 +86,24 @@ def cmd_train(args):
     dcfg = _data_config(args)
     ds, dcfg = _load_dataset(args, dcfg)
     compute_dtype = "float32" if args.f32_parity else args.compute_dtype
+    if args.schedule:
+        # "20:32,30:128" -> ((20, 32), (30, 128)) — the reference's
+        # increasing-batch-size schedule (gan_train_cwgangp_pixelnorm.py:
+        # 73-74,526-529); each stage recompiles the fused step once
+        try:
+            schedule = tuple(
+                (int(e), int(b)) for e, b in
+                (stage.split(":") for stage in args.schedule.split(","))
+            )
+        except ValueError:
+            sys.exit(f"bad --schedule {args.schedule!r}; "
+                     f"expected EPOCHS:BATCH[,EPOCHS:BATCH...]")
+    else:
+        schedule = ((args.epochs, args.batch_size),)
     exp = ExperimentConfig(
         data=dcfg,
         train=TrainConfig(
-            schedule=((args.epochs, args.batch_size),),
+            schedule=schedule,
             n_disc=args.n_disc, seed=args.seed,
         ),
         name=args.name,
@@ -98,6 +112,16 @@ def cmd_train(args):
     warm = None
     if args.warm_start_gen:
         warm = (args.warm_start_gen, args.warm_start_critic)
+        if args.infer_arch:
+            # rebuild the architecture from the weight files themselves
+            # (reference continue-training loads both nets from .h5 with no
+            # config, gan_train_cwgangp_pixelnorm.py:520-521)
+            import dataclasses
+
+            from prdisagg_tpu.train.state import warm_start as _ws
+
+            _, gen, _ = _ws(None, exp.train, *warm)
+            exp = dataclasses.replace(exp, model_override=gen.cfg)
     elif args.warm_start_critic:
         sys.exit("--warm-start-critic requires --warm-start-gen")
     tr = Trainer(exp, ds, workdir=args.workdir,
@@ -309,6 +333,9 @@ def build_parser():
     _add_data_args(t)
     t.add_argument("--epochs", type=int, default=50)
     t.add_argument("--batch-size", type=int, default=32)
+    t.add_argument("--schedule", default=None,
+                   help="increasing-batch-size schedule EPOCHS:BATCH[,...] "
+                        "e.g. '20:32,30:128' (overrides --epochs/--batch-size)")
     t.add_argument("--n-disc", type=int, default=5)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--steps-per-epoch", type=int, default=None)
@@ -321,6 +348,9 @@ def build_parser():
                         "with fresh optimizers (reference workflow)")
     t.add_argument("--warm-start-critic", dest="warm_start_critic",
                    default=None)
+    t.add_argument("--infer-arch", dest="infer_arch", action="store_true",
+                   help="reconstruct the model architecture from the "
+                        "warm-start weight files (no config needed)")
     t.add_argument("--start-epoch", dest="start_epoch", type=int, default=0,
                    help="epoch-label offset for continued runs")
     t.add_argument("--compute-dtype", dest="compute_dtype",

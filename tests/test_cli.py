@@ -12,8 +12,8 @@ def test_cli_train_synthetic(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     main([
         "train", "--synthetic", "--synthetic-days", "4",
-        "--synthetic-size", "32", "--epochs", "1", "--batch-size", "4",
-        "--n-disc", "1", "--steps-per-epoch", "2",
+        "--synthetic-size", "32", "--schedule", "1:4",
+        "--n-disc", "1", "--steps-per-epoch", "2", "--f32-parity",
         "--workdir", str(tmp_path), "--name", "clismoke",
     ])
     # default export is the reference's .h5-only cadence (round 3)
@@ -93,6 +93,19 @@ def test_cli_train_warm_start_continue(tmp_path, monkeypatch):
     ])
     assert glob.glob(str(
         wd2 / "trained_models" / "warmsmoke" / "gen_*_0002.h5"))
+    # --infer-arch: same continue run with the architecture reconstructed
+    # from the weight files instead of CLI flags (round 3)
+    wd3 = tmp_path / "cont_inferred"
+    main([
+        "train", "--synthetic", "--synthetic-days", "4",
+        "--synthetic-size", "32", "--epochs", "1", "--batch-size", "4",
+        "--n-disc", "1", "--steps-per-epoch", "2",
+        "--workdir", str(wd3), "--name", "warmsmoke",
+        "--warm-start-gen", h5s[0], "--warm-start-critic", disc[0],
+        "--start-epoch", "1", "--infer-arch",
+    ])
+    assert glob.glob(str(
+        wd3 / "trained_models" / "warmsmoke" / "gen_*_0002.h5"))
 
 
 def test_cli_crps_and_analyze(tmp_path):
@@ -145,3 +158,10 @@ def test_cli_lsd(tmp_path):
     import glob as _g
     assert _g.glob(os.path.join(out, "*.npy")) or _g.glob(
         os.path.join(out, "*.pkl")) or os.listdir(out)
+
+
+def test_cli_schedule_parse_error(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit, match="bad --schedule"):
+        main(["train", "--synthetic", "--schedule", "20x32",
+              "--workdir", str(tmp_path)])
