@@ -38,15 +38,38 @@ def run_protocol(schedule, name, ds, dcfg, spe, workdir):
     )
     wd = os.path.join(workdir, name)
     os.makedirs(wd, exist_ok=True)
+    epoch_t = []  # (epoch, timestamp) at each epoch end
+
+    def on_epoch_end(trainer):
+        trainer.flush_artifacts()
+        epoch_t.append((trainer.epoch, time.perf_counter()))
+
     tr = Trainer(exp, ds, workdir=wd, steps_per_epoch=spe,
-                 plot_every_epochs=0)
+                 plot_every_epochs=0, on_epoch_end=on_epoch_end)
     t0 = time.perf_counter()
     hist = tr.fit(progress=False)
     tr.flush_artifacts()
     wall = time.perf_counter() - t0
-    n_steps = len(hist["d_loss"])
+    n_steps = sum(n_ep * spe for n_ep, _ in schedule)
     # sample-updates = sum over stages of epochs*spe*batch*(n_disc+1)
     total_updates = sum(n_ep * spe * bs * 6 for n_ep, bs in schedule)
+
+    # steady-state rates per stage, excluding each stage's FIRST epoch
+    # (which pays that stage's one-off jit compile)
+    times = dict(epoch_t)
+    stage_rates = []
+    e0 = 0
+    for n_ep, bs in schedule:
+        first, last = e0 + 1, e0 + n_ep
+        if n_ep >= 2 and first in times and last in times:
+            dt = times[last] - times[first]
+            stage_rates.append({
+                "batch": bs, "epochs": n_ep,
+                "steady_steps_per_sec": round((n_ep - 1) * spe / dt, 1),
+                "steady_sample_updates_per_sec": round(
+                    (n_ep - 1) * spe * bs * 6 / dt, 1),
+            })
+        e0 += n_ep
 
     pg = PretrainedGenerator(jax.device_get(tr.state.gen_params),
                              exp.model(), seed=354)
@@ -61,9 +84,9 @@ def run_protocol(schedule, name, ds, dcfg, spe, workdir):
     corr = float(np.corrcoef(cyc_g, cyc_r)[0, 1])
     out = {
         "name": name, "schedule": list(map(list, schedule)),
-        "wall_s": round(wall, 1), "fused_steps": n_steps,
-        "steps_per_sec": round(n_steps / wall, 2),
-        "sample_updates_per_sec": round(total_updates / wall, 1),
+        "wall_s_incl_compiles": round(wall, 1), "fused_steps": n_steps,
+        "sample_updates_per_sec_incl_compiles": round(total_updates / wall, 1),
+        "stage_steady_rates": stage_rates,
         "daily_cycle_corr": round(corr, 4),
         "final_d_loss": round(float(hist["d_loss"][-1]), 4),
     }
@@ -92,10 +115,13 @@ def main():
     flat = run_protocol(((50, 32),), "flat_b32", ds, dcfg, spe, workdir)
     sched = run_protocol(((20, 32), (30, 128)), "sched_b32_b128", ds, dcfg,
                          spe, workdir)
+    flat_rate = flat["stage_steady_rates"][0][
+        "steady_sample_updates_per_sec"]
+    sched_tail = sched["stage_steady_rates"][-1][
+        "steady_sample_updates_per_sec"]
     summary = {"flat": flat, "schedule": sched,
-               "sample_update_speedup": round(
-                   sched["sample_updates_per_sec"]
-                   / flat["sample_updates_per_sec"], 2)}
+               "steady_tail_sample_update_speedup": round(
+                   sched_tail / flat_rate, 2)}
     path = os.path.join(workdir, "summary.json")
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
