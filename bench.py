@@ -249,6 +249,9 @@ def orchestrate(tiny: bool = False, spawn=_spawn_phase) -> tuple[dict, int]:
     results = {ph: run_with_retries(ph, tiny, spawn) for ph in PHASES}
 
     extras: dict = {"compute_dtype": "bfloat16"}
+    if tiny:
+        # orchestration-test mode: shrunken model, NOT the flagship metric
+        extras["tiny_model_not_a_benchmark"] = True
     rc = 0
     bf16, f32, scen = results["bf16"], results["f32"], results["scen"]
     if bf16.get("ok"):

@@ -18,7 +18,9 @@ import glob
 import sys
 
 candidates = sorted(
-    glob.glob("trained_models/*/gen_*_0*.npz") + glob.glob("trained_models/gen_*.h5")
+    glob.glob("trained_models/*/gen_*_0*.npz")
+    + glob.glob("trained_models/*/gen_*_0*.h5")   # default export format
+    + glob.glob("trained_models/gen_*.h5")
 )
 if candidates:
     path = candidates[-1]

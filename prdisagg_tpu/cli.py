@@ -87,17 +87,12 @@ def cmd_train(args):
     ds, dcfg = _load_dataset(args, dcfg)
     compute_dtype = "float32" if args.f32_parity else args.compute_dtype
     if args.schedule:
-        # "20:32,30:128" -> ((20, 32), (30, 128)) — the reference's
-        # increasing-batch-size schedule (gan_train_cwgangp_pixelnorm.py:
-        # 73-74,526-529); each stage recompiles the fused step once
-        try:
-            schedule = tuple(
-                (int(e), int(b)) for e, b in
-                (stage.split(":") for stage in args.schedule.split(","))
-            )
-        except ValueError:
-            sys.exit(f"bad --schedule {args.schedule!r}; "
-                     f"expected EPOCHS:BATCH[,EPOCHS:BATCH...]")
+        from prdisagg_tpu.core.config import parse_schedule
+
+        try:  # each stage recompiles the fused step once
+            schedule = parse_schedule(args.schedule)
+        except ValueError as err:
+            sys.exit(f"bad --schedule: {err}")
     else:
         schedule = ((args.epochs, args.batch_size),)
     exp = ExperimentConfig(
@@ -115,13 +110,20 @@ def cmd_train(args):
         if args.infer_arch:
             # rebuild the architecture from the weight files themselves
             # (reference continue-training loads both nets from .h5 with no
-            # config, gan_train_cwgangp_pixelnorm.py:520-521)
+            # config, gan_train_cwgangp_pixelnorm.py:520-521); an explicit
+            # precision request (--f32-parity / --compute-dtype) still wins
+            # over the inferred config's default
             import dataclasses
 
-            from prdisagg_tpu.train.state import warm_start as _ws
+            from prdisagg_tpu.train.state import (
+                infer_model_config_from_weights,
+            )
 
-            _, gen, _ = _ws(None, exp.train, *warm)
-            exp = dataclasses.replace(exp, model_override=gen.cfg)
+            inferred = infer_model_config_from_weights(*warm)
+            if compute_dtype is not None:
+                inferred = dataclasses.replace(
+                    inferred, compute_dtype=compute_dtype)
+            exp = dataclasses.replace(exp, model_override=inferred)
     elif args.warm_start_critic:
         sys.exit("--warm-start-critic requires --warm-start-gen")
     tr = Trainer(exp, ds, workdir=args.workdir,

@@ -488,12 +488,12 @@ def load_keras_critic_h5(path: str, cfg: Optional[ModelConfig] = None,
                          nhours: int = 24):
     """Reference critic .h5 -> Flax Critic params pytree.
 
-    With cfg=None the architecture is inferred from the stored shapes —
-    symmetric with the generator path, so the reference's continue-training
-    workflow (gan_train_cwgangp_pixelnorm.py:520-521 reloads BOTH nets from
-    .h5) needs no hand-written config.  Returns (params, inferred_cfg) via
-    :func:`infer_critic_config` semantics when cfg is None; a provided cfg
-    is validated against the weight shapes.
+    With cfg=None the architecture is inferred from the stored shapes
+    (:func:`infer_critic_config`) purely to VALIDATE them — symmetric with
+    the generator path, so the reference's continue-training workflow
+    (gan_train_cwgangp_pixelnorm.py:520-521 reloads BOTH nets from .h5)
+    needs no hand-written config.  Returns the params pytree either way; a
+    provided cfg is validated against the weight shapes.
     """
     layers = _collect_keras_layers(path)
     dense = _sorted_by_kind(layers, "dense")

@@ -110,10 +110,14 @@ class Trainer:
         self.ckpt = CheckpointManager(os.path.join(self.outdir, "ckpt"))
         # d_loss/g_loss mirror the reference hist.csv columns
         # (gan_train_cwgangp_pixelnorm.py:427); the rest are extra
-        # observability (SURVEY.md §5 metrics row)
+        # observability (SURVEY.md §5 metrics row).  "epoch" tags each row
+        # so resume can drop rows newer than the restored checkpoint
+        # (hist.csv is written every epoch, Orbax only every
+        # checkpoint_every_epochs — without the tag, re-trained epochs
+        # would duplicate their stale rows).
         self.hist: dict[str, list] = {
             "d_loss": [], "g_loss": [], "gp": [], "w_distance": [],
-            "d_grad_norm": [], "g_grad_norm": [],
+            "d_grad_norm": [], "g_grad_norm": [], "epoch": [],
         }
         self.epoch = start_epoch
         self._epoch0 = start_epoch  # schedule progress is counted from here
@@ -132,6 +136,12 @@ class Trainer:
             import pandas as pd
 
             df = pd.read_csv(hist_path, index_col=0)
+            if "epoch" in df:
+                # hist.csv is written EVERY epoch but the restored Orbax
+                # checkpoint may be older (checkpoint_every_epochs=10):
+                # drop rows from epochs that will be re-trained, or they
+                # would be duplicated
+                df = df[df["epoch"] <= latest]
             for k in self.hist:
                 if k in df:
                     self.hist[k] = df[k].tolist()
@@ -192,7 +202,8 @@ class Trainer:
                         f"chunk {j}: {m}"
                     )
                 for k in self.hist:
-                    self.hist[k].append(m[k])
+                    self.hist[k].append(
+                        self.epoch + 1 if k == "epoch" else m[k])
                 if progress:
                     print(
                         f"epoch {self.epoch + 1} {(j + 1) * k_steps}/"

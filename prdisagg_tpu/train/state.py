@@ -67,6 +67,53 @@ def create_train_state(
     return state, gen, critic
 
 
+def _load_weight_file(path: str, loader_h5, cfg=None, **kw):
+    from prdisagg_tpu.models.io import load_params_npz
+
+    if path.endswith(".h5"):
+        return loader_h5(path, cfg, **kw)
+    return load_params_npz(path)
+
+
+def infer_model_config_from_weights(
+    gen_weights: str,
+    critic_weights: str | None = None,
+) -> ModelConfig:
+    """Reconstruct the full ModelConfig from weight files alone.
+
+    The critic's conv0 input channels pin n_cond_channels exactly — the one
+    thing generator-weight inference cannot see (doy/lon variants) — so the
+    critic, when present, is inferred first; the generator-derived ndomain
+    then disambiguates the critic's (score-dim-ambiguous) domain and the
+    critic supplies the stage widths.
+    """
+    import dataclasses
+
+    from prdisagg_tpu.models.io import (
+        infer_critic_config,
+        infer_generator_config,
+        load_keras_critic_h5,
+        load_keras_generator_h5,
+    )
+
+    critic_params = None
+    n_cond = 1
+    if critic_weights is not None:
+        critic_params = _load_weight_file(critic_weights,
+                                          load_keras_critic_h5)
+        n_cond = infer_critic_config(critic_params).n_cond_channels
+    gen_params = _load_weight_file(gen_weights, load_keras_generator_h5,
+                                   n_cond_channels=n_cond)
+    model_cfg = infer_generator_config(gen_params, n_cond_channels=n_cond)
+    if critic_params is not None:
+        # validates the critic against the generator-derived domain and
+        # recovers the stage widths
+        ccfg = infer_critic_config(critic_params, ndomain=model_cfg.ndomain)
+        model_cfg = dataclasses.replace(
+            model_cfg, critic_channels=ccfg.critic_channels)
+    return model_cfg
+
+
 def warm_start(
     model_cfg: ModelConfig | None,
     train_cfg: TrainConfig,
@@ -79,50 +126,18 @@ def warm_start(
     start_epoch).
 
     Weight files may be native .npz exports or reference Keras .h5.  With
-    model_cfg=None the architecture is inferred from the generator weights
-    (models.io.infer_generator_config; base conditioning assumed — pass an
-    explicit config for doy/lon variants).
+    model_cfg=None the full architecture is inferred from the weight files
+    (:func:`infer_model_config_from_weights`).
     """
     from prdisagg_tpu.models.io import (
-        infer_generator_config,
         load_keras_critic_h5,
         load_keras_generator_h5,
         load_params_npz,
     )
 
     if model_cfg is None:
-        import dataclasses
-
-        from prdisagg_tpu.models.io import infer_critic_config
-
-        # the critic's conv0 input channels pin n_cond_channels exactly —
-        # the one thing generator-weight inference cannot see (doy/lon
-        # variants) — so infer the critic FIRST when its weights exist
-        critic_params = None
-        if critic_weights is not None:
-            if critic_weights.endswith(".h5"):
-                critic_params = load_keras_critic_h5(critic_weights, None)
-            else:
-                critic_params = load_params_npz(critic_weights)
-            # conv0's input channels pin n_cond_channels exactly — the one
-            # thing generator-weight inference cannot see (doy/lon variants)
-            n_cond = infer_critic_config(critic_params).n_cond_channels
-        else:
-            n_cond = 1
-        if gen_weights.endswith(".h5"):
-            gen_params = load_keras_generator_h5(
-                gen_weights, None, n_cond_channels=n_cond)
-        else:
-            gen_params = load_params_npz(gen_weights)
-        model_cfg = infer_generator_config(gen_params, n_cond_channels=n_cond)
-        if critic_params is not None:
-            # validates the critic against the generator-derived domain
-            # (the score dim alone is ambiguous in ndomain) and recovers
-            # the stage widths
-            ccfg = infer_critic_config(critic_params,
-                                       ndomain=model_cfg.ndomain)
-            model_cfg = dataclasses.replace(
-                model_cfg, critic_channels=ccfg.critic_channels)
+        model_cfg = infer_model_config_from_weights(gen_weights,
+                                                    critic_weights)
 
     state, gen, critic = create_train_state(model_cfg, train_cfg)
     if gen_weights.endswith(".h5"):

@@ -12,8 +12,9 @@ daily-cycle correlation quality check.
 The reference trains the same protocol on one V100 inside a 3-day SLURM
 budget (gan_train_cwgangp_pixelnorm.py:3-4,67,74).
 
-Usage: python scripts/full_protocol_scale_run.py [n_days=2900] [epochs=50]
-Writes artifacts/full_protocol_scale.txt.
+Usage: python scripts/full_protocol_scale_run.py [n_days=2900] [epochs=50] \
+           [schedule e.g. "20:32,30:128"]
+Writes artifacts/full_protocol_scale.txt (or ..._SCHED.txt with a schedule).
 """
 
 import os
@@ -68,9 +69,18 @@ def main():
 
     n_days = int(sys.argv[1]) if len(sys.argv) > 1 else 2900
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    if len(sys.argv) > 3:
+        from prdisagg_tpu.core.config import parse_schedule
+
+        schedule = parse_schedule(sys.argv[3])
+        tag = "_sched"
+    else:
+        schedule = ((epochs, 32),)
+        tag = ""
+    epochs = sum(n for n, _ in schedule)
 
     workdir = os.path.join(os.path.dirname(__file__), "..", "artifacts",
-                           "full_protocol_scale")
+                           f"full_protocol_scale{tag}")
     os.makedirs(workdir, exist_ok=True)
 
     dcfg = DataConfig()
@@ -87,7 +97,7 @@ def main():
 
     exp = ExperimentConfig(
         data=dcfg,
-        train=TrainConfig(schedule=((epochs, 32),), seed=0,
+        train=TrainConfig(schedule=schedule, seed=0,
                           log_every_steps=100),
         name="full_protocol_scale",
     )
@@ -104,15 +114,23 @@ def main():
     tr.fit(progress=True)
     t_end = time.perf_counter()
 
-    spe = tr.steps_per_epoch or (len(indices) // 32)
-    total_steps = len(tr.hist["d_loss"]) * 0  # derived below from epochs
-    # Trainer logs one hist row per chunk; recompute steps from protocol
-    chunk = min(exp.train.log_every_steps, spe)
-    steps_per_epoch = max(1, spe // chunk) * chunk
-    total_steps = epochs * steps_per_epoch
-    steady_steps = (epochs - 1) * steps_per_epoch
+    # per-stage steps/epoch: n_valid // batch, rounded to log chunks
+    def spe_of(bs):
+        spe = len(indices) // bs
+        chunk = min(exp.train.log_every_steps, spe)
+        return max(1, spe // chunk) * chunk
+
+    total_steps = sum(n * spe_of(bs) for n, bs in schedule)
+    steps_per_epoch = spe_of(schedule[0][1])
+    # the post-epoch-1 window excludes only the FIRST stage's one-off
+    # compile; later stages' recompiles (one each) remain inside it, so
+    # for multi-stage schedules this is a conservative lower bound
+    steady_steps = total_steps - steps_per_epoch
     wall_total = t_end - t0
     wall_steady = t_end - marks["t1"]
+    steady_label = ("steady (excl. first compile epoch"
+                    + ("; later stage recompiles INCLUDED"
+                       if len(schedule) > 1 else "") + ")")
 
     pg = PretrainedGenerator(jax.device_get(tr.state.gen_params),
                              exp.model(), seed=354)
@@ -126,17 +144,18 @@ def main():
                              res["amean_fraction_real"].mean(axis=0))[0, 1])
 
     msg = (f"FULL-PROTOCOL SCALE RUN: {n_days} days, {len(indices)} valid "
-           f"patches, {epochs} epochs x {steps_per_epoch} fused steps b32 "
+           f"patches, schedule {schedule} fused steps "
            f"bf16 default cadence = {total_steps} steps.\n"
            f"wall {wall_total / 60:.1f} min total (incl. one-off compile); "
-           f"steady epochs 2..{epochs}: {steady_steps / wall_steady:.1f} "
+           f"{steady_label} epochs 2..{epochs}: "
+           f"{steady_steps / wall_steady:.1f} "
            f"steps/s ({wall_steady / 60:.1f} min)\n"
            f"daily-cycle corr after training: {corr:.4f}\n"
            f"reference budget for this protocol: 3-day SLURM limit on one "
            f"V100 (gan_train_cwgangp_pixelnorm.py:3-4)\n")
     print(msg, flush=True)
     with open(os.path.join(os.path.dirname(__file__), "..", "artifacts",
-                           "full_protocol_scale.txt"), "w") as f:
+                           f"full_protocol_scale{tag}.txt"), "w") as f:
         f.write(msg)
 
 

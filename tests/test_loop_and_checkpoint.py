@@ -273,3 +273,36 @@ def test_fit_stage_boundaries_resume_and_warm_start(tmp_path):
     assert run(((2, 4), (2, 8)), epoch=4) == []
     # warm start: full schedule, offset labels
     assert run(((2, 4),), start_epoch=5) == [(7, 4)]
+
+
+def test_resume_truncates_hist_to_restored_epoch(tiny_trainer_run):
+    """hist.csv is written every epoch but Orbax only every
+    checkpoint_every_epochs; resume must drop rows newer than the restored
+    checkpoint or re-trained epochs duplicate them (round-3 review)."""
+    import pandas as pd
+
+    tr, hist, workdir, exp, ds = tiny_trainer_run
+    hist_path = os.path.join(workdir, "hist.csv")
+    df = pd.read_csv(hist_path, index_col=0)
+    assert "epoch" in df and df["epoch"].max() == 2
+    # simulate a crash after epoch-3 rows were written but before its
+    # checkpoint existed: append fake epoch-3 rows
+    fake = df.tail(2).copy()
+    fake["epoch"] = 3
+    pd.concat([df, fake], ignore_index=True).to_csv(hist_path)
+
+    tr2 = Trainer(_tiny_exp(), ds, workdir=workdir, use_mesh=False,
+                  steps_per_epoch=2)
+    assert tr2.maybe_resume() and tr2.epoch == 2
+    assert max(tr2.hist["epoch"]) == 2          # stale epoch-3 rows dropped
+    assert len(tr2.hist["d_loss"]) == len(df)   # original row count
+
+
+def test_parse_schedule():
+    from prdisagg_tpu.core.config import parse_schedule
+
+    assert parse_schedule("50:32") == ((50, 32),)
+    assert parse_schedule("20:32,30:128") == ((20, 32), (30, 128))
+    for bad in ("20x32", "20:32,", "0:32", "a:b", ""):
+        with pytest.raises(ValueError):
+            parse_schedule(bad)
