@@ -1,3 +1,3 @@
-from prdisagg_tpu.eval.evaluate import Evaluator
+from prdisagg_tpu.eval.evaluate import Evaluator, daily_cycle_correlation
 
-__all__ = ["Evaluator"]
+__all__ = ["Evaluator", "daily_cycle_correlation"]

@@ -28,6 +28,16 @@ from prdisagg_tpu.data.sampler import DeviceDataset
 from prdisagg_tpu.ops.stats import ecdf
 
 
+def daily_cycle_correlation(res: dict) -> float:
+    """Headline quality gate: correlation between the generated and real
+    mean hourly-fraction cycles from :meth:`Evaluator.sample_statistics`
+    output (the quantitative form of the reference's daily-cycle boxplot
+    comparison, generate_and_evaluate.py:472-502)."""
+    return float(np.corrcoef(
+        res["amean_fraction_gen"].mean(axis=0),
+        res["amean_fraction_real"].mean(axis=0))[0, 1])
+
+
 class Evaluator:
     def __init__(
         self,

@@ -145,6 +145,10 @@ class Trainer:
             for k in self.hist:
                 if k in df:
                     self.hist[k] = df[k].tolist()
+            if "epoch" not in df:
+                # legacy hist.csv (pre-epoch-column): backfill 0 so the
+                # dict stays rectangular for _write_hist
+                self.hist["epoch"] = [0] * len(df)
         return True
 
     # ------------------------------------------------------------------

@@ -32,7 +32,7 @@ def main():
     from prdisagg_tpu.api import PretrainedGenerator
     from prdisagg_tpu.core.config import DataConfig, ExperimentConfig
     from prdisagg_tpu.data.sampler import DeviceDataset
-    from prdisagg_tpu.eval import Evaluator
+    from prdisagg_tpu.eval import Evaluator, daily_cycle_correlation
     from scripts.full_protocol_scale_run import make_scale_dataset
 
     outdir = sys.argv[1]
@@ -50,13 +50,11 @@ def main():
             continue
         pg = PretrainedGenerator.from_keras_h5(paths[0], seed=354)
         ev = Evaluator(exp, ds, pg, workdir="/tmp/epoch_curve_art", epoch=e)
-        res, _ = ev.run_all(n_map_conditions=1, n_fake_per_real=1,
-                            n_stat_samples=300, n_line_conditions=1,
-                            n_line_free_noise=5, n_line_shared_noise=2,
-                            n_ks_conditions=1, n_ks_members=50)
-        corr = float(np.corrcoef(
-            res["amean_fraction_gen"].mean(axis=0),
-            res["amean_fraction_real"].mean(axis=0))[0, 1])
+        # only the large-sample statistics feed the curve — skip the map
+        # grids / noise lines / KS phases (and their GIL-holding matplotlib)
+        res = ev.sample_statistics(n_samples=300, save_fields=False,
+                                   make_plots=False)
+        corr = daily_cycle_correlation(res)
         print(f"epoch {e:2d}: daily-cycle corr {corr:.4f}", flush=True)
         if corr > best[1]:
             best = (e, corr)

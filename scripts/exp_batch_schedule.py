@@ -28,7 +28,7 @@ import numpy as np
 def run_protocol(schedule, name, ds, dcfg, spe, workdir):
     from prdisagg_tpu.api import PretrainedGenerator
     from prdisagg_tpu.core.config import ExperimentConfig, TrainConfig
-    from prdisagg_tpu.eval import Evaluator
+    from prdisagg_tpu.eval import Evaluator, daily_cycle_correlation
     from prdisagg_tpu.train.loop import Trainer
 
     exp = ExperimentConfig(
@@ -79,9 +79,7 @@ def run_protocol(schedule, name, ds, dcfg, spe, workdir):
         n_line_conditions=1, n_line_free_noise=10, n_line_shared_noise=2,
         n_ks_conditions=2, n_ks_members=100,
     )
-    cyc_g = res["amean_fraction_gen"].mean(axis=0)
-    cyc_r = res["amean_fraction_real"].mean(axis=0)
-    corr = float(np.corrcoef(cyc_g, cyc_r)[0, 1])
+    corr = daily_cycle_correlation(res)
     out = {
         "name": name, "schedule": list(map(list, schedule)),
         "wall_s_incl_compiles": round(wall, 1), "fused_steps": n_steps,

@@ -64,7 +64,7 @@ def main():
         DataConfig, ExperimentConfig, TrainConfig,
     )
     from prdisagg_tpu.data.sampler import DeviceDataset
-    from prdisagg_tpu.eval import Evaluator
+    from prdisagg_tpu.eval import Evaluator, daily_cycle_correlation
     from prdisagg_tpu.train.loop import Trainer
 
     n_days = int(sys.argv[1]) if len(sys.argv) > 1 else 2900
@@ -107,7 +107,6 @@ def main():
         if trainer.epoch == 1 and "t1" not in marks:
             trainer.flush_artifacts()
             marks["t1"] = time.perf_counter()
-            marks["spe"] = len(trainer.hist["d_loss"])
 
     tr = Trainer(exp, ds, workdir=workdir, on_epoch_end=on_epoch_end)
     t0 = time.perf_counter()
@@ -116,8 +115,11 @@ def main():
 
     # per-stage steps/epoch: n_valid // batch, rounded to log chunks
     def spe_of(bs):
-        spe = len(indices) // bs
-        chunk = min(exp.train.log_every_steps, spe)
+        # mirrors Trainer._fit_stage's accounting incl. its max(1, ...)
+        # guards (a stage batch larger than the patch count must not crash
+        # the report after a completed run)
+        spe = max(1, len(indices) // bs)
+        chunk = max(1, min(exp.train.log_every_steps, spe))
         return max(1, spe // chunk) * chunk
 
     total_steps = sum(n * spe_of(bs) for n, bs in schedule)
@@ -140,8 +142,7 @@ def main():
         n_line_conditions=1, n_line_free_noise=10, n_line_shared_noise=2,
         n_ks_conditions=2, n_ks_members=100,
     )
-    corr = float(np.corrcoef(res["amean_fraction_gen"].mean(axis=0),
-                             res["amean_fraction_real"].mean(axis=0))[0, 1])
+    corr = daily_cycle_correlation(res)
 
     msg = (f"FULL-PROTOCOL SCALE RUN: {n_days} days, {len(indices)} valid "
            f"patches, schedule {schedule} fused steps "

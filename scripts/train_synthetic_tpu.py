@@ -29,7 +29,7 @@ def main():
     )
     from prdisagg_tpu.data.sampler import DeviceDataset
     from prdisagg_tpu.data.synthetic import make_synthetic_dataset
-    from prdisagg_tpu.eval import Evaluator
+    from prdisagg_tpu.eval import Evaluator, daily_cycle_correlation
     from prdisagg_tpu.train.loop import Trainer
 
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
@@ -72,7 +72,7 @@ def main():
     # quality signals
     frac_cycle_gen = res["amean_fraction_gen"].mean(axis=0)
     frac_cycle_real = res["amean_fraction_real"].mean(axis=0)
-    corr = np.corrcoef(frac_cycle_gen, frac_cycle_real)[0, 1]
+    corr = daily_cycle_correlation(res)
     print("mean generated hourly fraction cycle:",
           np.round(frac_cycle_gen, 4).tolist())
     print("mean real hourly fraction cycle:    ",

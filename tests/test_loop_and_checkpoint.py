@@ -306,3 +306,30 @@ def test_parse_schedule():
     for bad in ("20x32", "20:32,", "0:32", "a:b", ""):
         with pytest.raises(ValueError):
             parse_schedule(bad)
+
+
+def test_resume_with_legacy_hist_csv_backfills_epoch(tiny_trainer_run):
+    """Pre-round-3 hist.csv files have no 'epoch' column; resume must keep
+    the hist dict rectangular or the next _write_hist crashes."""
+    import pandas as pd
+
+    tr, hist, workdir, exp, ds = tiny_trainer_run
+    hist_path = os.path.join(workdir, "hist.csv")
+    df = pd.read_csv(hist_path, index_col=0)
+    legacy = df.drop(columns=["epoch"])
+    legacy_path = os.path.join(workdir, "..", "legacy")
+    os.makedirs(legacy_path, exist_ok=True)
+    # stage a legacy workdir: old-format hist + the same checkpoints
+    import shutil
+
+    shutil.copytree(os.path.join(workdir, "trained_models"),
+                    os.path.join(legacy_path, "trained_models"),
+                    dirs_exist_ok=True)
+    legacy.to_csv(os.path.join(legacy_path, "hist.csv"))
+    tr2 = Trainer(_tiny_exp(), ds, workdir=legacy_path, use_mesh=False,
+                  steps_per_epoch=2)
+    assert tr2.maybe_resume()
+    lengths = {k: len(v) for k, v in tr2.hist.items()}
+    assert len(set(lengths.values())) == 1, lengths  # rectangular
+    # and a subsequent hist write succeeds
+    tr2._write_hist({k: list(v) for k, v in tr2.hist.items()})
