@@ -76,6 +76,15 @@ def _sync(x) -> float:
 def _setup_jax():
     import jax
 
+    # honor JAX_PLATFORMS even though this image's sitecustomize pre-imports
+    # jax with the tunneled TPU platform latched (env vars alone are applied
+    # too late; same re-application the CLI does) — without this, the
+    # "CPU" orchestration tests silently compile through the TPU tunnel
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     try:  # persistent compile cache: first run ~30-300s, later runs seconds
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/prdisagg_jax_cache"))
@@ -96,25 +105,30 @@ def _measure_train(compute_dtype: str, tiny: bool) -> dict:
     from prdisagg_tpu.data.synthetic import make_synthetic_dataset
     from prdisagg_tpu.train import create_train_state, make_train_step
 
-    batch_size = 32
-    data, indices, dcfg = make_synthetic_dataset(n_days=8, ny=64, nx=64, seed=0)
+    batch_size = 4 if tiny else 32
+    data, indices, dcfg = make_synthetic_dataset(
+        n_days=4 if tiny else 8, ny=32 if tiny else 64,
+        nx=32 if tiny else 64, seed=0)
     kwargs = dict(compute_dtype=compute_dtype)
     if tiny:  # orchestration/CI testing only — NOT a benchmark config
         kwargs.update(latent_dim=8, gen_channels=(8, 8, 8), base_channels=8,
                       critic_channels=(8, 8, 8, 8))
     model_cfg = ModelConfig(**kwargs)
-    train_cfg = TrainConfig(seed=0)        # n_disc=5, Adam(1e-4, 0, 0.9)
+    # production protocol: n_disc=5, Adam(1e-4, 0, 0.9); tiny mode shrinks
+    # the unrolled critic scan so the CPU orchestration test compiles fast
+    train_cfg = TrainConfig(seed=0, n_disc=1 if tiny else 5)
     ds = DeviceDataset.from_numpy(data, indices, dcfg)
     state, gen, critic = create_train_state(model_cfg, train_cfg)
     # steps_per_call matches the production Trainer dispatch pattern
-    # (K fused steps scanned per host dispatch, train/loop.py)
-    k = 10
+    # (K fused steps scanned per host dispatch, train/loop.py); tiny mode
+    # shrinks it so the orchestration test's CPU compile stays cheap
+    k = 2 if tiny else 10
     step = make_train_step(gen, critic, model_cfg, train_cfg, batch_size,
                            steps_per_call=k)
     state, metrics = step(state, ds)       # warmup / compile
     if bool(metrics["nonfinite"]):         # host fetch = hard sync
         raise NonFiniteLoss(f"non-finite loss in {compute_dtype} warmup")
-    n_calls = 2 if tiny else 5
+    n_calls = 1 if tiny else 5
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, metrics = step(state, ds)

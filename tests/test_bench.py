@@ -110,7 +110,7 @@ def test_forced_fault_end_to_end_subprocess():
     env.pop("BENCH_ATTEMPT", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--tiny"],
-        env=env, capture_output=True, text=True, timeout=900, cwd=REPO,
+        env=env, capture_output=True, text=True, timeout=1800, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = [ln for ln in proc.stdout.strip().splitlines()
