@@ -40,6 +40,10 @@ PHASES = ("bf16", "f32", "scen")
 MAX_ATTEMPTS = 3
 PHASE_TIMEOUT_S = 2700  # cold-cache remote compiles through the tunnel can
 # take ~25 min (measured round 3); cached reruns are seconds
+# Global wall-clock budget across ALL phases and retries: a wedged backend
+# (observed: jax.devices() responds but every compute hangs forever) must
+# not turn 3 phases x 3 attempts x 45 min into a 6.75 h bench run.
+GLOBAL_BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", 7200))
 
 # substrings identifying a dead/unhealthy backend (retryable) as opposed to a
 # genuine numerical failure of the training run (not retryable)
@@ -205,7 +209,8 @@ def _phase_main(phase: str, tiny: bool) -> int:
 # orchestrator
 # ---------------------------------------------------------------------------
 
-def _spawn_phase(phase: str, attempt: int, tiny: bool) -> dict:
+def _spawn_phase(phase: str, attempt: int, tiny: bool,
+                 timeout_s: float = PHASE_TIMEOUT_S) -> dict:
     """Run one phase in a FRESH interpreter (a dead TPU client cannot poison
     the next attempt); returns the parsed structured result."""
     env = dict(os.environ)
@@ -216,12 +221,12 @@ def _spawn_phase(phase: str, attempt: int, tiny: bool) -> dict:
     try:
         proc = subprocess.run(
             cmd, env=env, capture_output=True, text=True,
-            timeout=PHASE_TIMEOUT_S,
+            timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
     except subprocess.TimeoutExpired:
-        return {"ok": False, "kind": "backend",
-                "error": f"phase {phase} timed out after {PHASE_TIMEOUT_S}s"}
+        return {"ok": False, "kind": "timeout",
+                "error": f"phase {phase} timed out after {timeout_s:.0f}s"}
     line = next(
         (ln for ln in reversed(proc.stdout.strip().splitlines())
          if ln.startswith("{")), None,
@@ -237,15 +242,35 @@ def _spawn_phase(phase: str, attempt: int, tiny: bool) -> dict:
                 "error": f"phase {phase} unparseable output: {line[:200]}"}
 
 
-def run_with_retries(phase: str, tiny: bool, spawn=_spawn_phase) -> dict:
+def run_with_retries(phase: str, tiny: bool, spawn=_spawn_phase,
+                     deadline: float | None = None) -> dict:
+    """Retry policy: backend ERRORS get the full attempt budget (a fresh
+    process often recovers a transient fault); hang-style TIMEOUTS get one
+    retry only (a wedged backend rarely unwedges, and each wait is
+    expensive); nonfinite/other results are final.  `deadline`
+    (time.monotonic) bounds total wall clock across everything."""
     last = {"ok": False, "kind": "backend", "error": "never ran"}
+    attempt = 0
+    timeouts = 0
     for attempt in range(MAX_ATTEMPTS):
-        res = spawn(phase, attempt, tiny)
+        budget = PHASE_TIMEOUT_S if deadline is None else \
+            min(PHASE_TIMEOUT_S, deadline - time.monotonic())
+        if budget < 60:
+            last = {"ok": False, "kind": "budget",
+                    "error": f"phase {phase} skipped: global "
+                             f"{GLOBAL_BUDGET_S}s bench budget exhausted"}
+            break
+        res = spawn(phase, attempt, tiny, budget)
         if res.get("ok"):
             res["attempts"] = attempt + 1
             return res
         last = res
-        if res.get("kind") != "backend":
+        kind = res.get("kind")
+        if kind == "timeout":
+            timeouts += 1
+            if timeouts >= 2:
+                break
+        elif kind != "backend":
             break  # nonfinite/other: a real result, retrying cannot fix it
         print(f"# bench: phase {phase} attempt {attempt + 1} failed "
               f"({res.get('error', '')[:120]}); retrying in fresh process",
@@ -260,7 +285,9 @@ def orchestrate(tiny: bool = False, spawn=_spawn_phase) -> tuple[dict, int]:
     Returns (report, exit_code).  exit_code is non-zero only when the
     headline could not be measured at all.
     """
-    results = {ph: run_with_retries(ph, tiny, spawn) for ph in PHASES}
+    deadline = time.monotonic() + GLOBAL_BUDGET_S
+    results = {ph: run_with_retries(ph, tiny, spawn, deadline)
+               for ph in PHASES}
 
     extras: dict = {"compute_dtype": "bfloat16"}
     if tiny:

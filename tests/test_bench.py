@@ -18,11 +18,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _fake_spawn(script):
-    """spawn(phase, attempt, tiny) stub driven by a {phase: [result, ...]}
-    script; attempts beyond the script length repeat the last entry."""
+    """spawn(phase, attempt, tiny, timeout_s) stub driven by a
+    {phase: [result, ...]} script; attempts beyond the script length repeat
+    the last entry."""
     calls = []
 
-    def spawn(phase, attempt, tiny):
+    def spawn(phase, attempt, tiny, timeout_s=None):
         calls.append((phase, attempt))
         seq = script[phase]
         return dict(seq[min(attempt, len(seq) - 1)])
@@ -119,3 +120,41 @@ def test_forced_fault_end_to_end_subprocess():
     assert report["value"] > 0
     assert report["extras"]["attempts"]["bf16"] == 2  # fault + recovery
     assert report["extras"]["attempts"]["f32"] == 1
+
+
+TIMEOUT_FAIL = {"ok": False, "kind": "timeout",
+                "error": "phase bf16 timed out after 2700s"}
+
+
+def test_hang_timeouts_retry_once_not_thrice():
+    """A wedged backend (compute hangs, device listing fine — observed on
+    the tunneled platform) rarely unwedges; each wait costs up to 45 min,
+    so timeouts get ONE retry instead of the full attempt budget."""
+    spawn = _fake_spawn({
+        "bf16": [TIMEOUT_FAIL],
+        "f32": [OK_F32],
+        "scen": [OK_SCEN],
+    })
+    report, rc = bench.orchestrate(spawn=spawn)
+    assert [c for c in spawn.calls if c[0] == "bf16"] == [
+        ("bf16", 0), ("bf16", 1)]  # exactly one retry
+    assert rc == 0 and report["value"] == 75.0  # f32 fallback headline
+
+
+def test_global_budget_bounds_wall_clock(monkeypatch):
+    """With the backend hanging every phase, the global budget must stop
+    spawning once exhausted instead of burning phases x attempts x 45 min."""
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clock["t"])
+    monkeypatch.setattr(bench, "GLOBAL_BUDGET_S", 1000)
+
+    def hanging_spawn(phase, attempt, tiny, timeout_s):
+        assert timeout_s <= bench.PHASE_TIMEOUT_S
+        clock["t"] += timeout_s  # simulate waiting out the full timeout
+        return dict(TIMEOUT_FAIL)
+
+    report, rc = bench.orchestrate(spawn=hanging_spawn)
+    assert rc == 1
+    # first phase consumed the budget; later phases were skipped up-front
+    assert "budget exhausted" in report["extras"]["f32_error"]
+    assert "budget exhausted" in report["extras"]["scen_error"]
