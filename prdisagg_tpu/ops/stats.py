@@ -46,9 +46,13 @@ def crps_ensemble(observation: jax.Array, forecasts: jax.Array) -> jax.Array:
     # sort along the trailing (lane) axis — far faster on TPU than a
     # leading-axis sort of the same data
     xs = jnp.sort(jnp.moveaxis(forecasts, 0, -1), axis=-1)
-    k = jnp.arange(m, dtype=forecasts.dtype)
+    k = jnp.arange(m, dtype=jnp.float32)
     w = (2.0 * k - m + 1.0)
-    spread = jnp.tensordot(xs, w, axes=(-1, 0)) / (m * m)
+    # HIGHEST: the default TPU matmul precision multiplies in bfloat16,
+    # which rounds the +-(M-1)-ranged weights and biases the spread term
+    # (sorted forecasts correlate with the weights, so errors don't cancel)
+    spread = jnp.tensordot(xs, w, axes=(-1, 0),
+                           precision=jax.lax.Precision.HIGHEST) / (m * m)
     return term1 - spread
 
 
@@ -67,9 +71,11 @@ def crps_ensemble_fixed(observations: jax.Array,
     """
     m = forecasts.shape[0]
     xs = jnp.sort(jnp.moveaxis(forecasts, 0, -1), axis=-1)
-    k = jnp.arange(m, dtype=forecasts.dtype)
+    k = jnp.arange(m, dtype=jnp.float32)
     w = (2.0 * k - m + 1.0)
-    spread = jnp.tensordot(xs, w, axes=(-1, 0)) / (m * m)  # (...)
+    # f32 contraction: see the precision note in crps_ensemble
+    spread = jnp.tensordot(xs, w, axes=(-1, 0),
+                           precision=jax.lax.Precision.HIGHEST) / (m * m)
     term1 = jnp.mean(
         jnp.abs(forecasts[None] - observations[:, None]), axis=1
     )  # (B, ...)
@@ -148,10 +154,19 @@ def pairwise_lsd(spectra_a: jax.Array, spectra_b: jax.Array) -> jax.Array:
 
 def pairwise_lsd_offdiag(spectra_a: np.ndarray, spectra_b: np.ndarray,
                          block: int = 256) -> np.ndarray:
-    """Flattened off-diagonal all-pairs LSD values, blocked to bound memory.
+    """Flattened all-pairs LSD values excluding same-index pairs, blocked
+    to bound memory.
 
-    Mirrors the reference's removal of (i == i) diagonal entries
-    (log_spectral_distance.py:123-130).
+    DELIBERATE cleanup of the reference's exclusion logic (documented in
+    docs/DESIGN.md §8): the reference skips i == j pairs in the distance
+    loop (log_spectral_distance.py:104-110, leaving 0.0 placeholders) but
+    its "diagonal" removal then deletes flat indices 0, n, 2n, ... — the
+    first COLUMN, not the diagonal (:123-126) — so its saved arrays keep
+    ~n-1 spurious zeros and drop n legitimate column-0 values.  Here the
+    same-index pairs themselves are removed (for same-set inputs these are
+    the self-distances the reference meant to drop; for between-set inputs
+    they are exactly the pairs the reference's loop skipped), and no
+    legitimate values are lost.
     """
     a = np.asarray(spectra_a)
     b = np.asarray(spectra_b)

@@ -142,13 +142,12 @@ class Trainer:
                 # drop rows from epochs that will be re-trained, or they
                 # would be duplicated
                 df = df[df["epoch"] <= latest]
+            # backfill ANY missing column (a reference-style hist.csv has
+            # only d_loss/g_loss; pre-round-3 files lack 'epoch') so the
+            # dict stays rectangular for _write_hist
             for k in self.hist:
-                if k in df:
-                    self.hist[k] = df[k].tolist()
-            if "epoch" not in df:
-                # legacy hist.csv (pre-epoch-column): backfill 0 so the
-                # dict stays rectangular for _write_hist
-                self.hist["epoch"] = [0] * len(df)
+                self.hist[k] = df[k].tolist() if k in df else \
+                    [0.0] * len(df)
         return True
 
     # ------------------------------------------------------------------
@@ -185,10 +184,18 @@ class Trainer:
         if spe is None:
             spe = max(1, self.ds.n_samples // batch_size)
         # one device dispatch per log interval: K fused steps scanned inside
-        # the jitted call (each host dispatch costs ~4 ms on the tunneled TPU)
-        k_steps = max(1, min(self.exp.train.log_every_steps, spe))
-        n_chunks = max(1, spe // k_steps)
-        steps_per_epoch = n_chunks * k_steps
+        # the jitted call (each host dispatch costs ~4 ms on the tunneled
+        # TPU).  K must DIVIDE steps_per_epoch so the epoch runs exactly the
+        # configured step count (the reference's bat_per_epo =
+        # n_sample/batch_size, gan_train_cwgangp_pixelnorm.py:433) — pick
+        # the largest divisor of spe not exceeding log_every_steps rather
+        # than silently truncating the epoch to a multiple of the log
+        # interval (worst case, prime spe, K=1 = the reference's own
+        # per-step dispatch).
+        k_max = max(1, min(self.exp.train.log_every_steps, spe))
+        k_steps = next(k for k in range(k_max, 0, -1) if spe % k == 0)
+        n_chunks = spe // k_steps
+        steps_per_epoch = spe
 
         step_fn = make_train_step(
             self.gen, self.critic, self.model_cfg, self.exp.train,
@@ -226,8 +233,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def _end_of_epoch(self):
         e = self.epoch
-        need_ckpt = e % self.exp.train.checkpoint_every_epochs == 0
-        need_weights = e % self.export_weights_every_epochs == 0
+        # a cadence of 0 disables that artifact class (all three knobs
+        # behave alike)
+        ck = self.exp.train.checkpoint_every_epochs
+        we = self.export_weights_every_epochs
+        need_ckpt = ck and e % ck == 0
+        need_weights = we and e % we == 0
         need_plot = self.plot_every_epochs and e % self.plot_every_epochs == 0
 
         if need_ckpt or need_weights or need_plot:

@@ -144,12 +144,24 @@ def warm_start(
         gen_params = load_keras_generator_h5(gen_weights, model_cfg)
     else:
         gen_params = load_params_npz(gen_weights)
+        # .h5 loads validate against the config internally; give the .npz
+        # path the same immediate error instead of a cryptic XLA shape
+        # mismatch inside the (possibly remotely compiled) fused step
+        from prdisagg_tpu.models.io import _check_generator_shapes
+
+        _check_generator_shapes(
+            gen_params.get("params", gen_params), model_cfg, gen_weights)
     critic_params = state.critic_params
     if critic_weights is not None:
         if critic_weights.endswith(".h5"):
             critic_params = load_keras_critic_h5(critic_weights, model_cfg)
         else:
             critic_params = load_params_npz(critic_weights)
+            from prdisagg_tpu.models.io import _check_critic_shapes
+
+            _check_critic_shapes(
+                critic_params.get("params", critic_params), model_cfg,
+                critic_weights)
 
     tx = make_optimizer(train_cfg)
     state = state.replace(

@@ -24,6 +24,12 @@ def sample_grid(fractions: np.ndarray, cond: np.ndarray, title: str = ""):
     """n_plot x 25 grid: col 0 = condition map, cols 1..24 = hourly fractions.
 
     fractions: (n, 24, nd, nd[, 1]); cond: (n, nd, nd[, c]).
+
+    Bug-for-bug with the reference's grid loop `for j in range(1, 24)`
+    (gan_train_cwgangp_pixelnorm.py:420-423): hour 0 is never rendered and
+    the 25th column stays empty.  :func:`sample_grid_mosaic` — the
+    production per-epoch renderer — deliberately shows all 24 hours
+    instead (docs/DESIGN.md §8).
     """
     fractions = np.asarray(fractions)
     cond = np.asarray(cond)

@@ -333,3 +333,88 @@ def test_resume_with_legacy_hist_csv_backfills_epoch(tiny_trainer_run):
     assert len(set(lengths.values())) == 1, lengths  # rectangular
     # and a subsequent hist write succeeds
     tr2._write_hist({k: list(v) for k, v in tr2.hist.items()})
+
+
+def test_epoch_runs_exact_step_count_when_log_interval_misaligns(tmp_path):
+    """steps_per_epoch must be honored EXACTLY (reference bat_per_epo,
+    gan_train_cwgangp_pixelnorm.py:433): the dispatch chunk K becomes the
+    largest divisor of spe <= log_every_steps instead of truncating the
+    epoch to a multiple of the log interval."""
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32,
+                                                 seed=15)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    exp = ExperimentConfig(
+        data=DataConfig(),
+        train=TrainConfig(n_disc=1, schedule=((1, 4),), seed=16,
+                          log_every_steps=5, checkpoint_every_epochs=0),
+        name="chunksmoke", model_override=SMALL_MODEL,
+    )
+    # spe=7 is prime: K must fall back to 1 and run all 7 steps
+    tr = Trainer(exp, ds, workdir=str(tmp_path), use_mesh=False,
+                 steps_per_epoch=7, plot_every_epochs=0,
+                 export_weights_every_epochs=0)
+    hist = tr.fit(progress=False)
+    assert len(hist["d_loss"]) == 7
+    assert int(tr.state.step) == 7
+
+
+def test_zero_cadence_disables_artifact_classes(tmp_path):
+    """A cadence of 0 disables checkpoints/exports/plots alike instead of
+    raising ZeroDivisionError at the first epoch end."""
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32,
+                                                 seed=17)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    exp = ExperimentConfig(
+        data=DataConfig(),
+        train=TrainConfig(n_disc=1, schedule=((1, 4),), seed=18,
+                          log_every_steps=1, checkpoint_every_epochs=0),
+        name="nocad", model_override=SMALL_MODEL,
+    )
+    tr = Trainer(exp, ds, workdir=str(tmp_path), use_mesh=False,
+                 steps_per_epoch=1, plot_every_epochs=0,
+                 export_weights_every_epochs=0)
+    tr.fit(progress=False)
+    assert tr.epoch == 1
+    assert not glob.glob(os.path.join(str(tmp_path), "trained_models",
+                                      "nocad", "gen_*"))
+    assert tr.ckpt.latest_epoch() is None
+
+
+def test_resume_with_reference_two_column_hist(tiny_trainer_run):
+    """A reference-produced hist.csv has ONLY d_loss/g_loss
+    (gan_train_cwgangp_pixelnorm.py:427); resume must backfill every other
+    tracked column to keep the dict rectangular."""
+    import shutil
+
+    import pandas as pd
+
+    tr, hist, workdir, exp, ds = tiny_trainer_run
+    df = pd.read_csv(os.path.join(workdir, "hist.csv"), index_col=0)
+    refdir = os.path.join(workdir, "..", "reflike")
+    os.makedirs(refdir, exist_ok=True)
+    shutil.copytree(os.path.join(workdir, "trained_models"),
+                    os.path.join(refdir, "trained_models"),
+                    dirs_exist_ok=True)
+    df[["d_loss", "g_loss"]].to_csv(os.path.join(refdir, "hist.csv"))
+    tr2 = Trainer(_tiny_exp(), ds, workdir=refdir, use_mesh=False,
+                  steps_per_epoch=2)
+    assert tr2.maybe_resume()
+    lengths = {len(v) for v in tr2.hist.values()}
+    assert lengths == {len(df)}
+    tr2._write_hist({k: list(v) for k, v in tr2.hist.items()})
+
+
+def test_warm_start_npz_shape_mismatch_raises(tmp_path):
+    """.npz warm starts validate weight shapes against the config up front
+    (the .h5 path already did) instead of failing deep inside the jitted
+    step."""
+    from prdisagg_tpu.models.io import save_params_npz
+    from prdisagg_tpu.train.state import warm_start
+
+    big = ModelConfig(ndomain=32, latent_dim=8, gen_channels=(8, 8, 8),
+                      base_channels=8, critic_channels=(8, 8, 8, 8))
+    state, _, _ = create_train_state(big, TrainConfig(seed=50))
+    gp = str(tmp_path / "gen32.npz")
+    save_params_npz(gp, state.gen_params)
+    with pytest.raises(ValueError, match="does not match config"):
+        warm_start(SMALL_MODEL, TrainConfig(seed=0), gp)
