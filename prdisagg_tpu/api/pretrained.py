@@ -35,10 +35,18 @@ class PretrainedGenerator:
     reference's Keras .h5 checkpoints."""
 
     def __init__(self, params, cfg: Optional[ModelConfig] = None,
-                 norm_scale: float = NORM_SCALE, seed: int = 0):
+                 norm_scale: float = NORM_SCALE, seed: int = 0,
+                 max_batch: int = 8000):
+        """`max_batch` caps the per-forward device batch: larger requests
+        are served in chunks (batch 8000 is the single-chip HBM ceiling at
+        the flagship architecture and also its throughput peak, ~29k
+        scenarios/s — docs/PERF.md; the reference relies on Keras
+        `predict`'s internal batching the same way,
+        raindisagg_gan_pretrained.py:60)."""
         self.cfg = cfg or ModelConfig()
         self.params = params
         self.norm_scale = norm_scale
+        self.max_batch = max_batch
         self._gen = Generator(self.cfg)
         self._predict = jax.jit(lambda p, l, c: self._gen.apply(p, l, c))
         self._key = jax.random.PRNGKey(seed)
@@ -73,10 +81,30 @@ class PretrainedGenerator:
         return sub
 
     def predict_fractions(self, latent, cond_batch) -> jax.Array:
-        """Raw generator output: (B, nhours, nd, nd, 1) fractions."""
-        return self._predict(
-            self.params, jnp.asarray(latent), jnp.asarray(cond_batch)
-        )
+        """Raw generator output: (B, nhours, nd, nd, 1) fractions.
+
+        Batches above `max_batch` run as equal-shape chunks (the last chunk
+        zero-padded and sliced) so one jitted program serves any request
+        size without exceeding HBM."""
+        latent = jnp.asarray(latent)
+        cond_batch = jnp.asarray(cond_batch)
+        n = latent.shape[0]
+        mb = self.max_batch
+        if n <= mb:
+            return self._predict(self.params, latent, cond_batch)
+        outs = []
+        for i0 in range(0, n, mb):
+            lat = latent[i0:i0 + mb]
+            cnd = cond_batch[i0:i0 + mb]
+            pad = mb - lat.shape[0]
+            if pad:  # keep the jitted shape; drop the padded rows after
+                lat = jnp.concatenate([lat, jnp.zeros((pad, *lat.shape[1:]),
+                                                      lat.dtype)])
+                cnd = jnp.concatenate([cnd, jnp.zeros((pad, *cnd.shape[1:]),
+                                                      cnd.dtype)])
+            out = self._predict(self.params, lat, cnd)
+            outs.append(out[:mb - pad] if pad else out)
+        return jnp.concatenate(outs)
 
     def generate_scenarios(
         self, cond: np.ndarray, n_scenarios: int,
