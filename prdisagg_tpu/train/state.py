@@ -78,6 +78,7 @@ def _load_weight_file(path: str, loader_h5, cfg=None, **kw):
 def infer_model_config_from_weights(
     gen_weights: str,
     critic_weights: str | None = None,
+    compute_dtype: str = "bfloat16",
 ) -> ModelConfig:
     """Reconstruct the full ModelConfig from weight files alone.
 
@@ -86,6 +87,10 @@ def infer_model_config_from_weights(
     critic, when present, is inferred first; the generator-derived ndomain
     then disambiguates the critic's (score-dim-ambiguous) domain and the
     critic supplies the stage widths.
+
+    This is the TRAINING warm-start entry, so `compute_dtype` defaults to
+    the bf16 training protocol (the pure inference loaders in models/io.py
+    default float32 for reference-predict parity).
     """
     import dataclasses
 
@@ -111,7 +116,7 @@ def infer_model_config_from_weights(
         ccfg = infer_critic_config(critic_params, ndomain=model_cfg.ndomain)
         model_cfg = dataclasses.replace(
             model_cfg, critic_channels=ccfg.critic_channels)
-    return model_cfg
+    return dataclasses.replace(model_cfg, compute_dtype=compute_dtype)
 
 
 def warm_start(

@@ -113,14 +113,11 @@ def main():
     tr.fit(progress=True)
     t_end = time.perf_counter()
 
-    # per-stage steps/epoch: n_valid // batch, rounded to log chunks
+    # per-stage steps/epoch: the Trainer runs exactly n_valid // batch steps
+    # (its dispatch chunk is chosen to DIVIDE this, train/loop.py); max(1,.)
+    # guards a stage batch larger than the patch count
     def spe_of(bs):
-        # mirrors Trainer._fit_stage's accounting incl. its max(1, ...)
-        # guards (a stage batch larger than the patch count must not crash
-        # the report after a completed run)
-        spe = max(1, len(indices) // bs)
-        chunk = max(1, min(exp.train.log_every_steps, spe))
-        return max(1, spe // chunk) * chunk
+        return max(1, len(indices) // bs)
 
     total_steps = sum(n * spe_of(bs) for n, bs in schedule)
     steps_per_epoch = spe_of(schedule[0][1])

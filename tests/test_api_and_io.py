@@ -241,6 +241,36 @@ def test_architecture_inference_from_weights(tmp_path):
         assert out.shape == (2, 24, 16, 16)
 
 
+def test_inference_entry_points_default_float32(tmp_path):
+    """The reference's predict path is implicit f32
+    (raindisagg_gan_pretrained.py:60): PretrainedGenerator and the weight-
+    file config inference default to float32 so loading published f32
+    weights reproduces reference outputs bit-level; bfloat16 stays the
+    TRAINING default (ADVICE round 3)."""
+    from prdisagg_tpu.models.io import (
+        infer_critic_config,
+        infer_generator_config,
+    )
+    from prdisagg_tpu.train.state import infer_model_config_from_weights
+
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=77))
+    assert PretrainedGenerator(state.gen_params).cfg.compute_dtype == \
+        "float32"
+    assert infer_generator_config(
+        state.gen_params).compute_dtype == "float32"
+    assert infer_critic_config(
+        state.critic_params).compute_dtype == "float32"
+    # training default unchanged
+    assert ModelConfig().compute_dtype == "bfloat16"
+    # the TRAINING warm-start inference keeps the training default
+    gp = str(tmp_path / "gen.npz")
+    cp = str(tmp_path / "disc.npz")
+    save_params_npz(gp, state.gen_params)
+    save_params_npz(cp, state.critic_params)
+    assert infer_model_config_from_weights(gp, cp).compute_dtype == \
+        "bfloat16"
+
+
 def test_critic_config_inference(tmp_path):
     """infer_critic_config reconstructs EVERYTHING from critic weights —
     including n_cond_channels, which generator inference cannot see

@@ -165,3 +165,12 @@ def test_cli_schedule_parse_error(tmp_path, monkeypatch):
     with pytest.raises(SystemExit, match="bad --schedule"):
         main(["train", "--synthetic", "--schedule", "20x32",
               "--workdir", str(tmp_path)])
+
+
+def test_cli_contradictory_precision_flags(tmp_path, monkeypatch):
+    """--f32-parity silently overriding an explicit --compute-dtype
+    bfloat16 would hide a contradictory request (ADVICE round 3): error."""
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit, match="contradicts"):
+        main(["train", "--synthetic", "--f32-parity",
+              "--compute-dtype", "bfloat16", "--workdir", str(tmp_path)])

@@ -401,7 +401,62 @@ def test_resume_with_reference_two_column_hist(tiny_trainer_run):
     assert tr2.maybe_resume()
     lengths = {len(v) for v in tr2.hist.values()}
     assert lengths == {len(df)}
+    # absent metrics backfill as NaN, NOT 0.0 — a resumed legacy history
+    # must stay distinguishable from measured zeros (round-3 weak #4)
+    assert np.isnan(tr2.hist["gp"]).all()
+    assert np.isnan(tr2.hist["w_distance"]).all()
     tr2._write_hist({k: list(v) for k, v in tr2.hist.items()})
+
+
+def test_final_checkpoint_forced_beyond_cadence(tmp_path):
+    """A run whose epoch count is not a multiple of the checkpoint cadence
+    must still end with its FINAL epoch checkpointed (round-3 weak #3: a
+    13-epoch run with cadence 10 silently resumed at 10 and retrained 3
+    epochs).  3 epochs with cadence 2 reproduces the shape cheaply."""
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32,
+                                                 seed=19)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    exp = dataclasses.replace(
+        _tiny_exp(),
+        train=TrainConfig(n_disc=1, schedule=((3, 4),), seed=20,
+                          log_every_steps=1, checkpoint_every_epochs=2))
+    tr = Trainer(exp, ds, workdir=str(tmp_path), use_mesh=False,
+                 steps_per_epoch=1, plot_every_epochs=0,
+                 export_weights_every_epochs=0)
+    tr.fit(progress=False)
+    assert tr.ckpt.latest_epoch() == 3
+    tr2 = Trainer(exp, ds, workdir=str(tmp_path), use_mesh=False,
+                  steps_per_epoch=1)
+    assert tr2.maybe_resume() and tr2.epoch == 3
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.gen_params),
+                    jax.tree_util.tree_leaves(tr2.state.gen_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_abort_checkpoints_last_completed_epoch(tmp_path):
+    """An abort mid-run (NaN loss, crash, Ctrl-C) must leave the last
+    COMPLETED epoch checkpointed even when the cadence never fired — the
+    abort path uses the epoch-end snapshot, never the (possibly poisoned)
+    live state."""
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32,
+                                                 seed=23)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    exp = dataclasses.replace(
+        _tiny_exp(),
+        train=TrainConfig(n_disc=1, schedule=((5, 4),), seed=24,
+                          log_every_steps=1, checkpoint_every_epochs=10))
+
+    def abort_after_epoch_2(trainer):
+        if trainer.epoch == 2:
+            raise RuntimeError("simulated crash")
+
+    tr = Trainer(exp, ds, workdir=str(tmp_path), use_mesh=False,
+                 steps_per_epoch=1, plot_every_epochs=0,
+                 export_weights_every_epochs=0,
+                 on_epoch_end=abort_after_epoch_2)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        tr.fit(progress=False)
+    assert tr.ckpt.latest_epoch() == 2
 
 
 def test_warm_start_npz_shape_mismatch_raises(tmp_path):
