@@ -51,6 +51,22 @@ def replicated_spec() -> P:
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree fully replicated on the mesh (params, dataset, state)."""
+    """Place a pytree fully replicated on the mesh (params, dataset, state).
+
+    Works on a single host (plain device_put) and across process boundaries:
+    when the mesh spans multiple processes (jax.distributed — SURVEY §2.2's
+    "DP spans ICI first, DCN second"), each process contributes its local
+    shards via `make_array_from_callback`, which only touches addressable
+    devices.  Every process must hold an identical host copy (the usual
+    replicated-input contract, guaranteed here by shared seeds/configs).
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def _rep(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(_rep, tree)

@@ -136,6 +136,120 @@ def test_initialize_multihost_two_process_localhost(tmp_path):
         assert f"MULTIHOST_OK {pid}" in out
 
 
+_MULTIHOST_TRAIN_WORKER = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from prdisagg_tpu.parallel.distributed import initialize_multihost
+addr, pid = sys.argv[1], int(sys.argv[2])
+assert initialize_multihost(addr, 2, pid)
+assert jax.process_count() == 2
+assert jax.local_device_count() == 4 and jax.device_count() == 8
+
+import numpy as np
+from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+from prdisagg_tpu.data.sampler import DeviceDataset
+from prdisagg_tpu.data.synthetic import make_synthetic_dataset
+from prdisagg_tpu.parallel import make_mesh, replicate
+from prdisagg_tpu.train import create_train_state, make_train_step
+
+# identical seeds/configs on both processes -> identical host copies, the
+# replicated-input contract replicate() relies on across processes
+data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32, seed=3)
+model_cfg = ModelConfig(
+    ndomain=16, latent_dim=8,
+    gen_channels=(8, 8, 8), base_channels=8, critic_channels=(8, 8, 8, 8),
+)
+train_cfg = TrainConfig(n_disc=1, seed=2)
+
+mesh = make_mesh(8)  # GLOBAL mesh: 4 local + 4 remote devices
+ds = replicate(DeviceDataset.from_numpy(data, indices, dcfg), mesh)
+state, gen, critic = create_train_state(model_cfg, train_cfg)
+state = replicate(state, mesh)
+
+step = make_train_step(gen, critic, model_cfg, train_cfg,
+                       batch_size=8, mesh=mesh, donate=False)
+new_state, m = step(state, ds)
+assert not bool(m["nonfinite"])
+assert int(new_state.step) == 1
+# second step: cross-process state shardings must round-trip
+s2, m2 = step(new_state, ds)
+assert not bool(m2["nonfinite"])
+print("TRAIN_LOSSES", pid, repr(float(m["d_loss"])), repr(float(m["g_loss"])),
+      flush=True)
+"""
+
+
+def test_fused_train_step_across_process_boundary(tmp_path):
+    """The FULL fused cWGAN-GP train step over a mesh spanning a real
+    process boundary (2 processes x 4 virtual CPU devices, jax.distributed
+    over localhost = the DCN-path analogue) must produce the same losses as
+    the single-process step — SURVEY §2.2 "DP spans ICI first, DCN second",
+    VERDICT round-3 missing #3 (the old test only did an allgather)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import prdisagg_tpu
+    from prdisagg_tpu.data.synthetic import make_synthetic_dataset
+
+    # single-process reference losses, same seeds/config as the workers
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32,
+                                                 seed=3)
+    model_cfg = ModelConfig(
+        ndomain=16, latent_dim=8,
+        gen_channels=(8, 8, 8), base_channels=8, critic_channels=(8, 8, 8, 8),
+    )
+    train_cfg = TrainConfig(n_disc=1, seed=2)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    state, gen, critic = create_train_state(model_cfg, train_cfg)
+    step = make_train_step(gen, critic, model_cfg, train_cfg,
+                           batch_size=8, donate=False)
+    _, m_ref = step(state, ds)
+    d_ref, g_ref = float(m_ref["d_loss"]), float(m_ref["g_loss"])
+
+    script = tmp_path / "mh_train_worker.py"
+    script.write_text(_MULTIHOST_TRAIN_WORKER)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    addr = f"localhost:{port}"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(prdisagg_tpu.__file__))
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), addr, str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    losses = {}
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        for line in out.splitlines():
+            if line.startswith("TRAIN_LOSSES"):
+                _, got_pid, d, g = line.split()
+                losses[int(got_pid)] = (float(d), float(g))
+    assert set(losses) == {0, 1}, f"missing losses in output:\n{outs}"
+    # both processes observe the identical global result...
+    assert losses[0] == losses[1]
+    # ...and it matches the single-process semantics
+    np.testing.assert_allclose(losses[0][0], d_ref, rtol=1e-4)
+    np.testing.assert_allclose(losses[0][1], g_ref, rtol=1e-4)
+
+
 def test_initialize_multihost_single_process_noop():
     """num_processes<=1 must be a no-op returning False (the common
     single-host path must never try to bring up a coordinator)."""
