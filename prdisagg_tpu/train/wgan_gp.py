@@ -76,6 +76,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     steps_per_call: int = 1,
+    fused_gen_forward: bool = False,
 ):
     """Build the fused jitted train step: (state, ds) -> (state, metrics).
 
@@ -86,6 +87,17 @@ def make_train_step(
     one host dispatch per K steps (host-loop overhead on the tunneled TPU is
     ~4 ms/dispatch); returned metrics are the last step's, with `nonfinite`
     OR-ed over the whole chunk so the NaN guard still fires.
+
+    fused_gen_forward=True is the architecture-level restructure candidate
+    (docs/PERF.md round 4): the generator-update batch joins the hoisted
+    critic-side batch in ONE (n_disc+1)*B forward under `jax.vjp`, and the
+    generator gradient is recovered AFTER the critic scan by replaying that
+    vjp with a cotangent that is zero on the critic-side slices.  Exactly
+    the reference's semantics (fresh latents, final critic params — same
+    RNG streams as the default path; only fp summation order differs in the
+    generator backward).  It trades a bigger generator backward
+    ((n_disc+1)*B instead of B) for fewer, larger kernels — a win only if
+    the step is layout/latency-bound, so it is measured, not assumed.
     """
     tx = make_optimizer(train_cfg)
     shard = _batch_sharder(mesh)
@@ -184,10 +196,26 @@ def make_train_step(
         def flat(x):
             return x.reshape(n_disc * batch_size, *x.shape[2:])
 
-        fake = gen.apply(state.gen_params, shard(flat(latent)),
-                         shard(flat(cond)))
-        fake = jax.lax.stop_gradient(fake).reshape(
-            n_disc, batch_size, *fake.shape[1:])
+        if fused_gen_forward:
+            # the generator-update batch rides the hoisted forward: one
+            # (n_disc+1)*B gen.apply under vjp; its residuals stay live
+            # across the critic scan and the gen gradient is replayed below
+            k_sample, k_d_gen = jax.random.split(key_gen)
+            lat_g, cond_g = ds.sample_latent(k_sample, batch_size,
+                                             latent_dim, allow_pallas,
+                                             sample_mesh)
+            lat_all = shard(jnp.concatenate([flat(latent), lat_g]))
+            cond_all = shard(jnp.concatenate([flat(cond), cond_g]))
+            fake_all, gen_vjp = jax.vjp(
+                lambda p: gen.apply(p, lat_all, cond_all), state.gen_params)
+            fake = jax.lax.stop_gradient(
+                fake_all[: n_disc * batch_size]).reshape(
+                n_disc, batch_size, *fake_all.shape[1:])
+        else:
+            fake = gen.apply(state.gen_params, shard(flat(latent)),
+                             shard(flat(cond)))
+            fake = jax.lax.stop_gradient(fake).reshape(
+                n_disc, batch_size, *fake.shape[1:])
 
         def critic_update(carry, xs):
             critic_params, critic_opt = carry
@@ -205,9 +233,24 @@ def make_train_step(
             (frac_real, cond, fake, k_eps, k_d1, k_d3), unroll=n_disc,
         )
 
-        g_loss, g_grads = jax.value_and_grad(gen_loss_fn)(
-            state.gen_params, critic_params, ds, key_gen
-        )
+        if fused_gen_forward:
+            fake_g = fake_all[n_disc * batch_size:]
+            cond_g_s = cond_all[n_disc * batch_size:]
+
+            def g_head(fk):
+                d_fake = critic.apply(critic_params, fk, cond_g_s,
+                                      deterministic=False,
+                                      rngs={"dropout": k_d_gen})
+                return jnp.mean(-d_fake)
+
+            g_loss, cot_g = jax.value_and_grad(g_head)(fake_g)
+            cot = jnp.concatenate(
+                [jnp.zeros_like(fake_all[: n_disc * batch_size]), cot_g])
+            (g_grads,) = gen_vjp(cot)
+        else:
+            g_loss, g_grads = jax.value_and_grad(gen_loss_fn)(
+                state.gen_params, critic_params, ds, key_gen
+            )
         g_updates, gen_opt = tx.update(g_grads, state.gen_opt, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_updates)
 

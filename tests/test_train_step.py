@@ -159,3 +159,30 @@ def test_gradient_penalty_matches_manual_computation(small_setup):
 
     assert np.isfinite(gp_manual)
     np.testing.assert_allclose(gp_manual, gp_manual2, rtol=1e-4)
+
+
+def test_fused_gen_forward_matches_default(small_setup):
+    """The fused_gen_forward restructure (one (n_disc+1)*B generator forward
+    under vjp, gradient replayed after the critic scan) is semantically
+    IDENTICAL to the default path — same RNG streams, same final critic
+    params for the generator loss — so every metric and both updated param
+    trees must match to fp tolerance (only summation order differs in the
+    generator backward)."""
+    ds, state, gen, critic, model_cfg, train_cfg = small_setup
+    step_a = make_train_step(gen, critic, model_cfg, train_cfg, batch_size=4,
+                             donate=False)
+    step_b = make_train_step(gen, critic, model_cfg, train_cfg, batch_size=4,
+                             donate=False, fused_gen_forward=True)
+    sa, ma = step_a(state, ds)
+    sb, mb = step_b(state, ds)
+    for k in ("d_loss", "g_loss", "gp", "w_distance", "d_grad_norm",
+              "g_grad_norm"):
+        np.testing.assert_allclose(float(ma[k]), float(mb[k]), rtol=2e-4,
+                                   err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(sa.gen_params),
+                    jax.tree_util.tree_leaves(sb.gen_params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(sa.critic_params),
+                    jax.tree_util.tree_leaves(sb.critic_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
