@@ -16,7 +16,6 @@ artifacts/large_domain_e2e/.
 """
 
 import glob
-import json
 import os
 import sys
 import time

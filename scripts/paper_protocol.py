@@ -90,6 +90,11 @@ def main():
         n_crps, n_members, n_lsd, n_stat = 40, 20, 24, 100
         ks_pairs, ks_members, n_map, rf_calib, rf_rep, n_boot = \
             2, 50, 2, 100, 2, 500
+        from prdisagg_tpu.core.config import ModelConfig
+
+        smoke_model = ModelConfig(
+            ndomain=16, latent_dim=8, gen_channels=(8, 8, 8),
+            base_channels=8, critic_channels=(8, 8, 8, 8))
     else:
         # EvalConfig reference defaults (generate_and_evaluate*.py)
         n_crps, n_members, n_lsd, n_stat = 10_000, 1000, 1000, 10_000
@@ -126,6 +131,7 @@ def main():
         train=TrainConfig(schedule=((args.epochs, 32),), seed=0,
                           log_every_steps=100),
         name="paper_protocol",
+        model_override=smoke_model if args.smoke else None,
     )
     model_dir = os.path.join(args.workdir, "trained_models", exp.name)
     have = sorted(glob.glob(os.path.join(model_dir, "gen_*.h5")))

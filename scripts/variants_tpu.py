@@ -16,7 +16,6 @@ Writes artifacts/variants_tpu.txt (summary lines) per variant.
 """
 
 import glob
-import json
 import os
 import sys
 import time
@@ -122,9 +121,12 @@ def main():
         key = jax.random.PRNGKey(5)
         lat = jax.random.normal(key, (8, pg.cfg.latent_dim))
         _, cond = ds_eval.sample_real(jax.random.PRNGKey(6), 8)
-        a = np.asarray(pg._gen.apply(
-            jax.tree_util.tree_map(
-                lambda x: x.astype(np.float32), pg.params), lat, cond))
+        # compare at matching (f32 inference) precision: params are stored
+        # f32 either way; pg2's loaded cfg defaults to float32 compute
+        cfg_f32 = dataclasses.replace(exp.model(), compute_dtype="float32")
+        pg_f32 = PretrainedGenerator(
+            jax.device_get(tr.state.gen_params), cfg_f32, seed=354)
+        a = np.asarray(pg_f32._gen.apply(pg_f32.params, lat, cond))
         b = np.asarray(pg2._gen.apply(pg2.params, lat, cond))
         emit(f"[{variant}] .h5 round-trip on chip: "
              f"max|a-b| {np.max(np.abs(a - b)):.2e} "
