@@ -103,6 +103,7 @@ def cmd_train(args):
         train=TrainConfig(
             schedule=schedule,
             n_disc=args.n_disc, seed=args.seed,
+            ema_decay=args.ema_decay,
         ),
         name=args.name,
         compute_dtype=compute_dtype,
@@ -362,6 +363,10 @@ def build_parser():
                    choices=["bfloat16", "float32"], default=None,
                    help="conv/matmul precision (params + conservation "
                         "softmax are always float32); default bfloat16")
+    t.add_argument("--ema-decay", dest="ema_decay", type=float,
+                   default=0.0,
+                   help="EMA generator decay per fused step (0 = off, the "
+                        "reference protocol); exports gen_ema_* weights")
     t.add_argument("--f32-parity", dest="f32_parity", action="store_true",
                    help="strict reference-protocol precision (the reference "
                         "trains implicit float32); same as "

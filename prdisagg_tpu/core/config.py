@@ -177,6 +177,14 @@ class TrainConfig:
     log_every_steps: int = 50
     # data-parallel mesh size; None = use all local devices
     n_data_devices: Optional[int] = None
+    # Exponential moving average of the generator params, updated once per
+    # fused step; 0.0 = off (the reference protocol).  The reference's
+    # quality wanders after its peak epoch and is handled by picking an
+    # epoch by eye (generate_and_evaluate.py:49-52); an EMA generator
+    # (Karras et al. 2018 progressive-GAN practice) smooths that wander.
+    # When on, per-epoch exports include gen_ema_*.h5 alongside the live
+    # weights and evaluation can select either.
+    ema_decay: float = 0.0
 
     @property
     def total_epochs(self) -> int:

@@ -283,7 +283,8 @@ class Trainer:
         if need_weights:
             self.writer.submit(
                 lambda: self._export_weights(e, snap.gen_params,
-                                             snap.critic_params))
+                                             snap.critic_params,
+                                             snap.ema_gen_params))
         hist_copy = {k: list(v) for k, v in self.hist.items()}
         self.writer.submit(lambda: self._write_hist(hist_copy))
         if need_plot:
@@ -300,10 +301,13 @@ class Trainer:
         background error)."""
         self.writer.flush()
 
-    def _export_weights(self, e: int, gen_params, critic_params):
+    def _export_weights(self, e: int, gen_params, critic_params,
+                        ema_gen_params=None):
         """Reference-style per-epoch weight exports with params-string
         filenames (gan_train_cwgangp_pixelnorm.py:520-521); .h5 is the
-        reference ecosystem contract, .npz the native format."""
+        reference ecosystem contract, .npz the native format.  When EMA is
+        on (TrainConfig.ema_decay), the smoothed generator is exported too
+        (gen_ema_*) in the same formats."""
         gen_params = jax.device_get(gen_params)
         critic_params = jax.device_get(critic_params)
         base_gen = os.path.join(self.outdir, f"gen_{self.params_str}_{e:04d}")
@@ -316,6 +320,15 @@ class Trainer:
                                     self.model_cfg)
             save_keras_critic_h5(base_disc + ".h5", critic_params,
                                  self.model_cfg)
+        if ema_gen_params is not None:
+            ema = jax.device_get(ema_gen_params)
+            base_ema = os.path.join(self.outdir,
+                                    f"gen_ema_{self.params_str}_{e:04d}")
+            if self.export_format in ("npz", "both"):
+                save_params_npz(base_ema + ".npz", ema)
+            if self.export_format in ("h5", "both"):
+                save_keras_generator_h5(base_ema + ".h5", ema,
+                                        self.model_cfg)
 
     def _write_hist(self, hist):
         import pandas as pd

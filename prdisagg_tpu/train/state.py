@@ -31,6 +31,10 @@ class GANTrainState(struct.PyTreeNode):
     gen_opt: Any
     critic_opt: Any
     key: jax.Array
+    # EMA of gen_params (TrainConfig.ema_decay > 0), else None — a None
+    # field adds no pytree leaves, so the default protocol's step program
+    # and existing checkpoints are unchanged
+    ema_gen_params: Any = None
 
 
 def create_train_state(
@@ -63,6 +67,8 @@ def create_train_state(
         gen_opt=tx.init(gen_params),
         critic_opt=tx.init(critic_params),
         key=k_state,
+        ema_gen_params=(jax.tree_util.tree_map(jnp.copy, gen_params)
+                        if train_cfg.ema_decay > 0 else None),
     )
     return state, gen, critic
 

@@ -253,6 +253,13 @@ def make_train_step(
             )
         g_updates, gen_opt = tx.update(g_grads, state.gen_opt, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_updates)
+        if train_cfg.ema_decay > 0:
+            d = train_cfg.ema_decay
+            ema_gen_params = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                state.ema_gen_params, gen_params)
+        else:
+            ema_gen_params = state.ema_gen_params
 
         metrics = {
             "d_loss": d_aux["d_loss"][-1],
@@ -281,6 +288,7 @@ def make_train_step(
             gen_opt=gen_opt,
             critic_opt=critic_opt,
             key=key,
+            ema_gen_params=ema_gen_params,
         )
         return new_state, metrics
 

@@ -186,3 +186,42 @@ def test_fused_gen_forward_matches_default(small_setup):
     for a, b in zip(jax.tree_util.tree_leaves(sa.critic_params),
                     jax.tree_util.tree_leaves(sb.critic_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_generator_tracking(small_setup):
+    """TrainConfig.ema_decay > 0 maintains an EMA of the generator params in
+    the fused step: after one step ema = d*init + (1-d)*new, and the live
+    params are untouched.  With ema off the field stays None and the state
+    pytree has exactly the default leaf count (no program change)."""
+    import dataclasses
+
+    from prdisagg_tpu.core.config import TrainConfig as TC
+
+    ds, state0, gen, critic, model_cfg, train_cfg = small_setup
+    # default: off
+    assert state0.ema_gen_params is None
+    cfg_ema = dataclasses.replace(train_cfg, ema_decay=0.9)
+    from prdisagg_tpu.train import create_train_state
+
+    state, gen2, critic2 = create_train_state(model_cfg, cfg_ema)
+    assert state.ema_gen_params is not None
+    step = make_train_step(gen2, critic2, model_cfg, cfg_ema, batch_size=4,
+                           donate=False)
+    init_gen = jax.device_get(state.gen_params)
+    new_state, m = step(state, ds)
+    assert not bool(m["nonfinite"])
+    for e, p0, p1 in zip(
+        jax.tree_util.tree_leaves(new_state.ema_gen_params),
+        jax.tree_util.tree_leaves(init_gen),
+        jax.tree_util.tree_leaves(new_state.gen_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(e, np.float32),
+            0.9 * np.asarray(p0, np.float32)
+            + 0.1 * np.asarray(p1, np.float32), rtol=2e-5, atol=1e-7)
+
+    # off-path leaf count unchanged vs a state built with ema
+    n_default = len(jax.tree_util.tree_leaves(state0))
+    n_ema = len(jax.tree_util.tree_leaves(state))
+    n_gen = len(jax.tree_util.tree_leaves(state0.gen_params))
+    assert n_ema == n_default + n_gen
