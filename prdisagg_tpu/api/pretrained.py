@@ -49,7 +49,12 @@ class PretrainedGenerator:
         weights expect it; bfloat16 is the TRAINING default only.  Pass a
         cfg with compute_dtype="bfloat16" for throughput-first serving."""
         self.cfg = cfg or ModelConfig(compute_dtype="float32")
-        self.params = params
+        # pin the weights on device ONCE: .h5/.npz loaders hand back host
+        # numpy trees, and a host tree passed to a jitted predict re-uploads
+        # every weight on EVERY call — through the tunneled TPU that turned
+        # the 10k-sample CRPS protocol from ~8 to ~27 minutes (round 4;
+        # docs/PERF.md)
+        self.params = jax.device_put(params)
         self.norm_scale = norm_scale
         self.max_batch = max_batch
         self._gen = Generator(self.cfg)

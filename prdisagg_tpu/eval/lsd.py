@@ -80,8 +80,17 @@ def run_lsd_evaluation(
             "between_gen_real": "between obs and generated",
             "between_gen_rainfarm_real": "between obs and generated rainfarm",
         }
+        # DELIBERATE deviation from the reference plot code
+        # (log_spectral_distance.py:142-146): at n_samples=1000 each
+        # population holds 576M distances and scipy's gaussian_kde is
+        # O(n * gridsize) — hours per curve on one core.  A deterministic
+        # 2M-element stride subsample is statistically indistinguishable
+        # for a KDE (the saved .npy artifacts keep the FULL populations).
+        kde_cap = 2_000_000
         for k, v in dists.items():
             finite = v[np.isfinite(v)]
+            if len(finite) > kde_cap:
+                finite = finite[:: len(finite) // kde_cap + 1]
             if len(finite):
                 sns.kdeplot(finite, label=labels[k])
         plt.xlabel("log spectral distance")

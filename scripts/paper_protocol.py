@@ -149,28 +149,46 @@ def main():
                                  (time.perf_counter() - t0), 1))
 
     # ---- stage 3: epoch selection on the HELD-OUT split --------------------
-    # the reference picks its eval epoch by visual inspection of per-epoch
-    # outputs (epoch 20 of 50); here every export is scored by held-out
-    # daily-cycle correlation and the peak is selected quantitatively
+    # The reference picks its eval epoch by visual inspection of per-epoch
+    # outputs (epoch 20 of 50, generate_and_evaluate.py:49-52) — implicitly
+    # balancing the daily cycle against ensemble realism.  A corr-only
+    # selection is a trap: the round-4 first run picked an early,
+    # low-diversity checkpoint (corr 0.9966 but CRPS 3.7x worse than the
+    # random baseline).  Here every export is scored by BOTH held-out
+    # daily-cycle correlation AND a small CRPS probe (100 samples x 100
+    # members); the selected epoch minimizes the probe CRPS among epochs
+    # within 80% of the best correlation.
     t0 = time.perf_counter()
+    sel_reals = np.asarray(ds_eval.sample_patches_raw(
+        jax.random.PRNGKey(991), min(100, n_crps)))
+    probe_members = min(100, n_members)
     curve = {}
-    best = (None, -2.0)
     for path in sorted(glob.glob(os.path.join(model_dir, "gen_*.h5"))):
+        if os.path.basename(path).startswith("gen_ema_"):
+            continue  # EMA exports are scored by their own runs
         e = int(os.path.splitext(path)[0].rsplit("_", 1)[1])
         pg = PretrainedGenerator.from_keras_h5(path, seed=354)
         ev = Evaluator(exp, ds_eval, pg, workdir="/tmp/paper_epoch_curve",
                        epoch=e)
         res = ev.sample_statistics(n_samples=min(500, n_stat),
                                    save_fields=False, make_plots=False)
-        corr = daily_cycle_correlation(res)
-        curve[e] = round(float(corr), 4)
-        if corr > best[1]:
-            best = (e, float(corr))
-    peak_epoch, peak_corr = best
-    print(f"[epoch-curve] peak epoch {peak_epoch} "
-          f"(held-out daily-cycle corr {peak_corr:.4f})", flush=True)
+        corr = float(daily_cycle_correlation(res))
+        probe = float(crps_gan(pg, sel_reals, n_members=probe_members,
+                               member_batch=probe_members, seed=354).mean())
+        curve[e] = {"corr": round(corr, 4), "crps": round(probe, 5)}
+        print(f"  epoch {e:3d}: corr {corr:.4f}  probe-CRPS {probe:.5f}",
+              flush=True)
+    max_corr = max(v["corr"] for v in curve.values())
+    eligible = {e: v for e, v in curve.items()
+                if v["corr"] >= 0.8 * max_corr} or curve
+    peak_epoch = min(eligible, key=lambda e: eligible[e]["crps"])
+    peak_corr = curve[peak_epoch]["corr"]
+    print(f"[epoch-curve] selected epoch {peak_epoch} "
+          f"(corr {peak_corr:.4f}, probe-CRPS "
+          f"{curve[peak_epoch]['crps']:.5f}; best corr {max_corr:.4f})",
+          flush=True)
     mark("epoch_curve", t0, curve=curve, peak_epoch=peak_epoch,
-         peak_corr=round(peak_corr, 4))
+         peak_corr=peak_corr)
 
     peak_path = glob.glob(
         os.path.join(model_dir, f"gen_*_{peak_epoch:04d}.h5"))[0]

@@ -385,3 +385,17 @@ def test_generate_scenarios_chunked_matches_single_forward():
     np.testing.assert_allclose(scen_chunk, scen_one, rtol=1e-6, atol=1e-7)
     # conservation still exact through the padded tail chunk
     np.testing.assert_allclose(scen_chunk.sum(axis=1), 10.0, rtol=1e-4)
+
+
+def test_pretrained_generator_pins_params_on_device():
+    """Weight-file loaders hand back host numpy trees; the API must pin
+    them on device at construction — a host tree passed to the jitted
+    predict re-uploads every weight on every call (through the tunneled
+    TPU this made the 10k CRPS protocol 3x slower, round 4)."""
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=9))
+    host_params = jax.device_get(state.gen_params)
+    leaves = jax.tree_util.tree_leaves(host_params)
+    assert all(isinstance(x, np.ndarray) for x in leaves)
+    pg = PretrainedGenerator(host_params, TINY)
+    assert all(isinstance(x, jax.Array)
+               for x in jax.tree_util.tree_leaves(pg.params))
