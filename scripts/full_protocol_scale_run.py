@@ -27,16 +27,51 @@ import jax
 import numpy as np
 
 
-def make_scale_dataset(n_days: int, ny: int, nx: int, seed: int, cfg):
+def make_scale_dataset(n_days: int, ny: int, nx: int, seed: int, cfg,
+                       regime: bool = False):
     """Rain-blob fields like data/synthetic.py, but built with C-speed
     separable box filters (scipy.ndimage) — apply_along_axis is Python-loop
-    bound and unusable at 2900 days on one core."""
+    bound and unusable at 2900 days on one core.
+
+    regime=False applies one FIXED diurnal cycle to every day with nearly
+    constant daily totals — on such data the reference's random-climatology
+    CRPS baseline (raw training patches, generate_and_evaluate_crps.py:
+    163-193 — NOT rescaled to the observed daily sum) is a near-oracle
+    ensemble, so `gan_beats_random` is unreachable BY CONSTRUCTION and the
+    CRPS protocol degenerates (round-4 run-1/2 finding, docs/PERF.md).
+
+    regime=True restores the two properties of real precipitation that the
+    reference's headline result rests on: (1) day-to-day AMPLITUDE diversity
+    (lognormal day factor — the GAN conditions on the daily-sum map and so
+    nails the amount axis automatically; unconditioned climatology cannot),
+    and (2) sub-daily structure PREDICTABLE from the daily total (wet =
+    convective-like: sharp envelope peaking later in the afternoon; dry =
+    stratiform-like: flat profile — a von-Mises envelope whose peak hour
+    and concentration follow the day factor), so a conditional model can
+    also beat any amount-matched ensemble on profile shape."""
     from scipy.ndimage import uniform_filter1d
 
     from prdisagg_tpu.data.indices import compute_valid_indices
 
     rng = np.random.RandomState(seed)
     nh = cfg.nhours
+    if regime:
+        # day regime: z ~ N(0,1) drives amplitude a=e^{0.8 z} (totals vary
+        # ~5x across days), peak hour 15+3*tanh(z)+eps, concentration
+        # kappa 1.5+1.2*tanh(z) (dry days nearly flat, wet days sharp)
+        z = rng.normal(size=n_days)
+        amp = np.exp(0.8 * z).astype(np.float32)
+        peak = 15.0 + 3.0 * np.tanh(z) + rng.normal(0.0, 1.0, n_days)
+        kappa = 1.5 + 1.2 * np.tanh(z)
+        t = np.arange(nh)
+        env = np.exp(kappa[:, None]
+                     * np.cos(2 * np.pi * (t[None] - peak[:, None]) / nh))
+        env = (env / env.mean(axis=1, keepdims=True)).astype(np.float32)
+        day_factor = amp[:, None] * env  # (n_days, nh)
+    else:
+        cycle = (1.0 + 0.5 * np.sin(2 * np.pi * np.arange(nh) / nh)).astype(
+            np.float32)
+        day_factor = np.broadcast_to(cycle[None], (n_days, nh))
     chunks = []
     step = 200
     for d0 in range(0, n_days, step):
@@ -45,11 +80,8 @@ def make_scale_dataset(n_days: int, ny: int, nx: int, seed: int, cfg):
                       size=(d, nh, ny, nx)).astype(np.float32)
         for axis, width in ((1, 5), (2, 7), (3, 7)):
             x = uniform_filter1d(x, size=width, axis=axis, mode="nearest")
-        chunks.append(x)
+        chunks.append(x * day_factor[d0:d0 + d, :, None, None] + 1e-3)
     data = np.concatenate(chunks)
-    cycle = (1.0 + 0.5 * np.sin(2 * np.pi * np.arange(nh) / nh)).astype(
-        np.float32)
-    data = data * cycle[None, :, None, None] + 1e-3
     indices = compute_valid_indices(data, cfg)
     return data, np.asarray(indices, dtype=np.int32)
 

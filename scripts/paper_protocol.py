@@ -69,6 +69,13 @@ def main():
                         "per-epoch generator exports")
     p.add_argument("--smoke", action="store_true",
                    help="tiny counts everywhere (CI plumbing check)")
+    p.add_argument("--plain-data", action="store_true",
+                   help="fixed-diurnal-cycle synthetic data (pre-round-4 "
+                        "runs 1/2).  Default is the regime-dependent "
+                        "generator: day-to-day amplitude diversity + "
+                        "intensity-dependent envelopes, the two properties "
+                        "the reference's CRPS-vs-climatology headline rests "
+                        "on (make_scale_dataset docstring)")
     args = p.parse_args()
 
     from prdisagg_tpu.api import PretrainedGenerator
@@ -114,12 +121,14 @@ def main():
     # ---- stage 1: datasets (train + HELD-OUT eval split) -------------------
     t0 = time.perf_counter()
     dcfg = DataConfig()
-    data, indices = make_scale_dataset(args.n_days, 88, 88, 0, dcfg)
+    regime = not args.plain_data
+    data, indices = make_scale_dataset(args.n_days, 88, 88, 0, dcfg,
+                                       regime=regime)
     ds_train = DeviceDataset.from_numpy(data, indices, dcfg)
     n_train_patches = len(indices)
     del data
     eval_data, eval_idx = make_scale_dataset(args.heldout_days, 88, 88, 7,
-                                             dcfg)
+                                             dcfg, regime=regime)
     ds_eval = DeviceDataset.from_numpy(eval_data, eval_idx, dcfg)
     del eval_data
     mark("datasets", t0, train_patches=n_train_patches,
