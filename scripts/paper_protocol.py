@@ -151,6 +151,11 @@ def main():
         summary["stages"]["train"] = {"seconds": 0.0, "reused": True}
     else:
         tr = Trainer(exp, ds_train, workdir=args.workdir)
+        # A rerun in the same workdir (e.g. after a backend wedge killed a
+        # prior attempt) resumes from the forced Orbax checkpoint instead of
+        # retraining epochs that already completed.
+        if tr.maybe_resume():
+            print(f"[train] resumed at epoch {tr.epoch}", flush=True)
         tr.fit(progress=True)
         spe = max(1, n_train_patches // 32)
         mark("train", t0, epochs=args.epochs, steps=args.epochs * spe,
