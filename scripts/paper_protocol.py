@@ -69,6 +69,11 @@ def main():
                         "per-epoch generator exports")
     p.add_argument("--smoke", action="store_true",
                    help="tiny counts everywhere (CI plumbing check)")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="track an EMA generator during training (exports "
+                        "gen_ema_*.h5 that compete in epoch selection); "
+                        "changes the fused-step jaxpr — first TPU compile "
+                        "is cold (~26 min through the tunnel)")
     p.add_argument("--plain-data", action="store_true",
                    help="fixed-diurnal-cycle synthetic data (pre-round-4 "
                         "runs 1/2).  Default is the regime-dependent "
@@ -138,7 +143,7 @@ def main():
     exp = ExperimentConfig(
         data=dcfg,
         train=TrainConfig(schedule=((args.epochs, 32),), seed=0,
-                          log_every_steps=100),
+                          log_every_steps=100, ema_decay=args.ema_decay),
         name="paper_protocol",
         model_override=smoke_model if args.smoke else None,
     )
@@ -177,10 +182,14 @@ def main():
         jax.random.PRNGKey(991), min(100, n_crps)))
     probe_members = min(100, n_members)
     curve = {}
+    paths_by_key = {}
     for path in sorted(glob.glob(os.path.join(model_dir, "gen_*.h5"))):
-        if os.path.basename(path).startswith("gen_ema_"):
-            continue  # EMA exports are scored by their own runs
+        # EMA exports (gen_ema_*, written when TrainConfig.ema_decay > 0)
+        # compete as candidates alongside the raw per-epoch exports — the
+        # smoothed generator often wins in the post-peak wander regime.
+        is_ema = os.path.basename(path).startswith("gen_ema_")
         e = int(os.path.splitext(path)[0].rsplit("_", 1)[1])
+        key = f"ema:{e}" if is_ema else str(e)
         pg = PretrainedGenerator.from_keras_h5(path, seed=354)
         ev = Evaluator(exp, ds_eval, pg, workdir="/tmp/paper_epoch_curve",
                        epoch=e)
@@ -189,23 +198,24 @@ def main():
         corr = float(daily_cycle_correlation(res))
         probe = float(crps_gan(pg, sel_reals, n_members=probe_members,
                                member_batch=probe_members, seed=354).mean())
-        curve[e] = {"corr": round(corr, 4), "crps": round(probe, 5)}
-        print(f"  epoch {e:3d}: corr {corr:.4f}  probe-CRPS {probe:.5f}",
+        curve[key] = {"corr": round(corr, 4), "crps": round(probe, 5)}
+        paths_by_key[key] = path
+        print(f"  epoch {key:>7s}: corr {corr:.4f}  probe-CRPS {probe:.5f}",
               flush=True)
     max_corr = max(v["corr"] for v in curve.values())
-    eligible = {e: v for e, v in curve.items()
+    eligible = {k: v for k, v in curve.items()
                 if v["corr"] >= 0.8 * max_corr} or curve
-    peak_epoch = min(eligible, key=lambda e: eligible[e]["crps"])
-    peak_corr = curve[peak_epoch]["corr"]
-    print(f"[epoch-curve] selected epoch {peak_epoch} "
+    peak_key = min(eligible, key=lambda k: eligible[k]["crps"])
+    peak_epoch = int(peak_key.split(":")[-1])
+    peak_corr = curve[peak_key]["corr"]
+    print(f"[epoch-curve] selected epoch {peak_key} "
           f"(corr {peak_corr:.4f}, probe-CRPS "
-          f"{curve[peak_epoch]['crps']:.5f}; best corr {max_corr:.4f})",
+          f"{curve[peak_key]['crps']:.5f}; best corr {max_corr:.4f})",
           flush=True)
-    mark("epoch_curve", t0, curve=curve, peak_epoch=peak_epoch,
+    mark("epoch_curve", t0, curve=curve, peak_epoch=peak_key,
          peak_corr=peak_corr)
 
-    peak_path = glob.glob(
-        os.path.join(model_dir, f"gen_*_{peak_epoch:04d}.h5"))[0]
+    peak_path = paths_by_key[peak_key]
     pg = PretrainedGenerator.from_keras_h5(peak_path, seed=354)
 
     # ---- stage 4a: evaluation phases 1-5 on the peak checkpoint ------------
@@ -291,7 +301,7 @@ def main():
     lsd_gan_closer = (lsd_medians["between_gen_real"]
                       < lsd_medians["between_gen_rainfarm_real"])
     summary["verdict"] = {
-        "peak_epoch": peak_epoch,
+        "peak_epoch": peak_key,
         "heldout_daily_cycle_corr": round(held_corr, 4),
         "crps": {k: round(float(crps_summary[k]), 5)
                  for k in ("gan", "random", "rainfarm")},
