@@ -141,6 +141,38 @@ class PretrainedGenerator:
         # fractions -> mm/h: multiply by the (unnormalized) daily sum
         return fractions * cond_norm.squeeze(-1)[None, None] * self.norm_scale
 
+    def generate_scenarios_batch(
+        self, conds: np.ndarray, n_scenarios: int,
+        latent: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Serve MANY conditions in one fused forward.
+
+        conds: (K, nd, nd) or (K, nd, nd, 1) daily precipitation sums in mm.
+        Returns (K, n_scenarios, nhours, nd, nd) hourly precipitation in mm
+        — row k equals ``generate_scenarios(conds[k], n_scenarios)`` up to
+        the latent draw.
+
+        The reference serves one condition per predict call at batch 1000
+        (raindisagg_gan_pretrained.py:52-65); flattening K requests into one
+        (K*n)-batch rides the measured batch-8000 throughput peak (~2x the
+        1000-batch rate, docs/PERF.md) while `max_batch` chunking keeps HBM
+        bounded for any K.
+        """
+        conds = np.asarray(conds, dtype=np.float32)
+        if conds.ndim == 3:
+            conds = conds[..., None]
+        k = conds.shape[0]
+        cond_norm = conds / self.norm_scale            # (K, nd, nd, 1)
+        if latent is None:
+            latent = jax.random.normal(
+                self._next_key(), (k * n_scenarios, self.cfg.latent_dim)
+            )
+        cond_batch = jnp.repeat(jnp.asarray(cond_norm), n_scenarios, axis=0)
+        fractions = np.asarray(
+            self.predict_fractions(latent, cond_batch)).squeeze(-1)
+        fractions = fractions.reshape(k, n_scenarios, *fractions.shape[1:])
+        return fractions * conds.squeeze(-1)[:, None, None]
+
     def plot_scenarios(self, scenarios: np.ndarray,
                        hour_labels: str = "reference"):
         return plot_scenarios(scenarios, hour_labels=hour_labels)

@@ -387,6 +387,34 @@ def test_generate_scenarios_chunked_matches_single_forward():
     np.testing.assert_allclose(scen_chunk.sum(axis=1), 10.0, rtol=1e-4)
 
 
+def test_generate_scenarios_batch_matches_per_request():
+    """K conditions flattened into one (K*n)-batch forward must reproduce
+    the per-request results exactly (same latents) — the multi-request
+    serving path that rides the batch-8000 throughput peak, incl. through
+    the max_batch chunking."""
+    state, _, _ = create_train_state(TINY, TrainConfig())
+    rng = np.random.RandomState(11)
+    conds = rng.gamma(2.0, 5.0, size=(3, 16, 16, 1)).astype(np.float32)
+    latent = rng.randn(12, TINY.latent_dim).astype("f4")
+
+    pg = PretrainedGenerator(state.gen_params, TINY)
+    batched = pg.generate_scenarios_batch(conds, 4, latent=latent)
+    assert batched.shape == (3, 4, 24, 16, 16)
+    for k in range(3):
+        single = pg.generate_scenarios(conds[k], 4,
+                                       latent=latent[4 * k:4 * (k + 1)])
+        np.testing.assert_allclose(batched[k], single, rtol=1e-6, atol=1e-7)
+    # conservation per request
+    np.testing.assert_allclose(
+        batched.sum(axis=2),
+        np.broadcast_to(conds[:, None, ..., 0], (3, 4, 16, 16)),
+        rtol=1e-3, atol=1e-4)
+    # 3-D conds (no channel dim) + chunked path agree with single-forward
+    pg_chunk = PretrainedGenerator(state.gen_params, TINY, max_batch=5)
+    b2 = pg_chunk.generate_scenarios_batch(conds[..., 0], 4, latent=latent)
+    np.testing.assert_allclose(b2, batched, rtol=1e-6, atol=1e-7)
+
+
 def test_pretrained_generator_pins_params_on_device():
     """Weight-file loaders hand back host numpy trees; the API must pin
     them on device at construction — a host tree passed to the jitted
