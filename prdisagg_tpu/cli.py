@@ -13,6 +13,7 @@ same typed configs:
   python -m prdisagg_tpu.cli crps         --weights gen.npz ...
   python -m prdisagg_tpu.cli lsd          --real r.npy --generated g.npy
   python -m prdisagg_tpu.cli rainfarm-calibrate --data d.npy --indices i.pkl
+  python -m prdisagg_tpu.cli generate     --weights gen.h5 --conds conds.npy --n-scenarios 1000
   python -m prdisagg_tpu.cli example      [--weights gen.npz]
   python -m prdisagg_tpu.cli download     --start 20090101 --end 20191231 --out raw/
 """
@@ -324,6 +325,45 @@ def cmd_example(args):
           f"max|sum_h - cond| = {np.abs(scenarios.sum(axis=1) - 10).max():.2e}")
 
 
+def cmd_generate(args):
+    """Production serving: conditions .npy -> scenarios .npy.
+
+    One condition (nd, nd)[, 1] uses the reference's single-request
+    semantics (raindisagg_gan_pretrained.py:52-65); a stack (K, nd, nd)[, 1]
+    is served as ONE fused batch (generate_scenarios_batch) riding the
+    batch-8000 throughput peak."""
+    from prdisagg_tpu.api import PretrainedGenerator
+
+    if args.weights.endswith(".h5"):
+        gen = PretrainedGenerator.from_keras_h5(
+            args.weights, seed=args.seed, max_batch=args.max_batch)
+    else:
+        gen = PretrainedGenerator.from_npz(
+            args.weights, seed=args.seed, max_batch=args.max_batch)
+    conds = np.load(args.conds)
+    single = conds.ndim == 2 or (conds.ndim == 3
+                                 and conds.shape[-1] == 1
+                                 and conds.shape[0] == conds.shape[1])
+    if single:
+        scen = gen.generate_scenarios(conds, args.n_scenarios)
+        daily = conds if conds.ndim == 2 else conds[..., 0]
+        err = np.abs(scen.sum(axis=1) - daily[None]).max()
+    else:
+        scen = gen.generate_scenarios_batch(conds, args.n_scenarios)
+        daily = conds if conds.ndim == 3 else conds[..., 0]
+        err = np.abs(scen.sum(axis=2) - daily[:, None]).max()
+    np.save(args.out, scen)
+    print(f"saved {args.out} shape={scen.shape}; conservation check: "
+          f"max|sum_h - cond| = {err:.2e}")
+    if args.plot:
+        os.makedirs(args.plot, exist_ok=True)
+        first = scen if single else scen[0]
+        fig = gen.plot_scenarios(first[: min(8, len(first))])
+        path = os.path.join(args.plot, "scenarios_grid.png")
+        fig.savefig(path)
+        print(f"saved {path}")
+
+
 def cmd_download(args):
     from prdisagg_tpu.data.download import download_range
 
@@ -465,6 +505,22 @@ def build_parser():
     ex.add_argument("--n-scenarios", type=int, default=10)
     ex.add_argument("--out", default="generated_scenarios1.png")
     ex.set_defaults(fn=cmd_example)
+
+    g = sub.add_parser("generate", help="serve scenarios for condition(s) "
+                       "from a .npy of daily-sum maps")
+    g.add_argument("--weights", required=True)
+    g.add_argument("--conds", required=True,
+                   help=".npy of daily sums in mm: (nd,nd)[,1] for one "
+                        "request or (K,nd,nd)[,1] for a batch")
+    g.add_argument("--n-scenarios", type=int, default=1000)
+    g.add_argument("--out", default="scenarios.npy")
+    g.add_argument("--seed", type=int, default=354)
+    g.add_argument("--max-batch", type=int, default=8000,
+                   help="per-forward device batch cap (8000 is the v5e "
+                        "single-chip throughput peak, docs/PERF.md)")
+    g.add_argument("--plot", default=None,
+                   help="also save a scenario-grid png of the first request")
+    g.set_defaults(fn=cmd_generate)
 
     d = sub.add_parser("download")
     d.add_argument("--start", default="20090101")

@@ -142,6 +142,47 @@ def test_cli_crps_and_analyze(tmp_path):
     assert os.path.exists(os.path.join(out, "crps_results.json"))
 
 
+def test_cli_generate_single_and_batch(tmp_path):
+    """cli generate serves one condition with reference semantics and a
+    condition stack as one fused batch; conservation holds either way."""
+    from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+    from prdisagg_tpu.models.io import save_params_npz
+    from prdisagg_tpu.train import create_train_state
+
+    tiny = ModelConfig(ndomain=16, latent_dim=8, gen_channels=(8, 8, 8),
+                       base_channels=8, critic_channels=(8, 8, 8, 8))
+    state, _, _ = create_train_state(tiny, TrainConfig(seed=9))
+    # npz round-trips the architecture (infer_generator_config)
+    wpath = str(tmp_path / "gen.npz")
+    save_params_npz(wpath, state.gen_params)
+
+    single = 10.0 * np.ones((16, 16), dtype=np.float32)
+    spath = str(tmp_path / "cond.npy")
+    np.save(spath, single)
+    sout = str(tmp_path / "scen_single.npy")
+    main(["generate", "--weights", wpath, "--conds", spath,
+          "--n-scenarios", "3", "--out", sout,
+          "--plot", str(tmp_path / "plots")])
+    scen = np.load(sout)
+    assert scen.shape == (3, 24, 16, 16)
+    np.testing.assert_allclose(scen.sum(axis=1), 10.0, rtol=1e-3)
+    assert os.path.exists(str(tmp_path / "plots" / "scenarios_grid.png"))
+
+    batch = np.random.RandomState(4).gamma(
+        2.0, 5.0, size=(3, 16, 16)).astype(np.float32)
+    bpath = str(tmp_path / "conds.npy")
+    np.save(bpath, batch)
+    bout = str(tmp_path / "scen_batch.npy")
+    main(["generate", "--weights", wpath, "--conds", bpath,
+          "--n-scenarios", "2", "--out", bout])
+    bscen = np.load(bout)
+    assert bscen.shape == (3, 2, 24, 16, 16)
+    np.testing.assert_allclose(
+        bscen.sum(axis=2),
+        np.broadcast_to(batch[:, None], (3, 2, 16, 16)), rtol=1e-3,
+        atol=1e-4)
+
+
 def test_cli_lsd(tmp_path):
     rng = np.random.RandomState(7)
     real = rng.gamma(2.0, 1.0, size=(6, 24, 16, 16)).astype(np.float32)
