@@ -25,6 +25,10 @@ import numpy as np
 
 
 def main():
+    # sitecustomize pre-imports jax with the axon platform latched; honor an
+    # explicit env request (e.g. JAX_PLATFORMS=cpu) after import
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/prdisagg_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -48,16 +52,24 @@ def main():
         if not paths:
             print(f"epoch {e:2d}: no export found", flush=True)
             continue
-        pg = PretrainedGenerator.from_keras_h5(paths[0], seed=354)
-        ev = Evaluator(exp, ds, pg, workdir="/tmp/epoch_curve_art", epoch=e)
-        # only the large-sample statistics feed the curve — skip the map
-        # grids / noise lines / KS phases (and their GIL-holding matplotlib)
-        res = ev.sample_statistics(n_samples=300, save_fields=False,
-                                   make_plots=False)
-        corr = daily_cycle_correlation(res)
-        print(f"epoch {e:2d}: daily-cycle corr {corr:.4f}", flush=True)
-        if corr > best[1]:
-            best = (e, corr)
+        for path in sorted(paths):
+            # EMA exports (gen_ema_*) are scored as their own labeled
+            # candidates, never silently in place of the raw export
+            label = ("ema:" if os.path.basename(path).startswith("gen_ema_")
+                     else "") + str(e)
+            pg = PretrainedGenerator.from_keras_h5(path, seed=354)
+            ev = Evaluator(exp, ds, pg, workdir="/tmp/epoch_curve_art",
+                           epoch=e)
+            # only the large-sample statistics feed the curve — skip the map
+            # grids / noise lines / KS phases (and their GIL-holding
+            # matplotlib)
+            res = ev.sample_statistics(n_samples=300, save_fields=False,
+                                       make_plots=False)
+            corr = daily_cycle_correlation(res)
+            print(f"epoch {label:>7s}: daily-cycle corr {corr:.4f}",
+                  flush=True)
+            if corr > best[1]:
+                best = (label, corr)
     print(f"best: epoch {best[0]} (corr {best[1]:.4f})", flush=True)
 
 

@@ -148,7 +148,9 @@ def main():
         model_override=smoke_model if args.smoke else None,
     )
     model_dir = os.path.join(args.workdir, "trained_models", exp.name)
-    have = sorted(glob.glob(os.path.join(model_dir, "gen_*.h5")))
+    # raw exports only — with --ema-decay there are two exports per epoch
+    have = sorted(p for p in glob.glob(os.path.join(model_dir, "gen_*.h5"))
+                  if not os.path.basename(p).startswith("gen_ema_"))
     t0 = time.perf_counter()
     if args.reuse_train and len(have) >= args.epochs:
         print(f"[train] reusing {len(have)} exports in {model_dir}",
