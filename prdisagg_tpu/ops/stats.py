@@ -146,10 +146,31 @@ def log_spectral_distance(ps1: jax.Array, ps2: jax.Array) -> jax.Array:
 @jax.jit
 def pairwise_lsd(spectra_a: jax.Array, spectra_b: jax.Array) -> jax.Array:
     """All-pairs LSD matrix (Na, Nb) — replaces the numba O(n^2) loop
-    (log_spectral_distance.py:104-115)."""
-    return jax.vmap(
-        lambda a: jax.vmap(lambda b: log_spectral_distance(a, b))(spectra_b)
-    )(spectra_a)
+    (log_spectral_distance.py:104-115).
+
+    d(i,j) = sqrt(sum_k (L_i[k] - L_j[k])^2) / n with L = 10*log10(ps), so
+    the log-spectra are computed ONCE per spectrum (the per-pair form
+    evaluates Na*Nb*nbins transcendentals — at the reference's 24k x 24k
+    populations that is 5G log10 calls) and the pair matrix becomes one MXU
+    GEMM via the Euclidean expansion |a|^2 + |b|^2 - 2ab, contracted at
+    HIGHEST precision.  Both inputs are centered by a SHARED vector first —
+    differences are invariant, but the norms shrink to O(spread), which
+    keeps the f32 expansion's cancellation error far below the distances
+    of interest.  Self-pairs land at ~0 (not exactly 0.0); population
+    builders exclude them (pairwise_lsd_offdiag), and the exact-zero
+    identity stays with the scalar `log_spectral_distance`."""
+    la = 10.0 * jnp.log10(spectra_a)
+    lb = 10.0 * jnp.log10(spectra_b)
+    center = jnp.mean(la, axis=0)
+    la = la - center
+    lb = lb - center
+    sq_a = jnp.sum(la * la, axis=-1)
+    sq_b = jnp.sum(lb * lb, axis=-1)
+    cross = jax.lax.dot_general(
+        la, lb, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(sq_a[:, None] + sq_b[None, :] - 2.0 * cross, 0.0)
+    return jnp.sqrt(d2) / spectra_a.shape[-1]
 
 
 def pairwise_lsd_offdiag(spectra_a: np.ndarray, spectra_b: np.ndarray,
@@ -170,12 +191,17 @@ def pairwise_lsd_offdiag(spectra_a: np.ndarray, spectra_b: np.ndarray,
     """
     a = np.asarray(spectra_a)
     b = np.asarray(spectra_b)
-    na = len(a)
+    na, nb = len(a), len(b)
     out = []
     for i0 in range(0, na, block):
-        blk = np.asarray(pairwise_lsd(jnp.asarray(a[i0 : i0 + block]), jnp.asarray(b)))
-        for row, i in zip(blk, range(i0, min(i0 + block, na))):
-            if i < len(b):
-                row = np.delete(row, i)
-            out.append(row)
+        hi = min(i0 + block, na)
+        blk = np.asarray(pairwise_lsd(jnp.asarray(a[i0:hi]), jnp.asarray(b)))
+        # drop the same-index entry of each row in one vectorized mask
+        # (row-major flatten preserves the reference's row-then-column
+        # ordering) instead of 24k np.delete copies per population
+        rows = np.arange(i0, hi)
+        keep = np.ones(blk.shape, dtype=bool)
+        in_range = rows < nb
+        keep[np.nonzero(in_range)[0], rows[in_range]] = False
+        out.append(blk[keep])
     return np.concatenate(out)

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy import fftpack
@@ -122,6 +123,26 @@ def test_pairwise_lsd_and_offdiag():
     assert flat.shape == (7 * 7 - 7,)
     want = np.concatenate([np.delete(mat[i], i) for i in range(7)])
     np.testing.assert_allclose(flat, want, rtol=1e-6)
+
+
+def test_pairwise_lsd_matches_direct_formula():
+    """The GEMM-expansion pairwise matrix must match the direct per-pair
+    LSD evaluation (the round-4 restructure changes only the computation:
+    shared log-spectra + MXU contraction instead of Na*Nb*nbins
+    transcendentals)."""
+    rng = np.random.RandomState(12)
+    a = (rng.rand(9, 11) + 0.05).astype(np.float32)
+    b = (rng.rand(6, 11) + 0.05).astype(np.float32)
+    got = np.asarray(pairwise_lsd(jnp.asarray(a), jnp.asarray(b)))
+    want = np.asarray(
+        jax.vmap(lambda x: jax.vmap(
+            lambda y: log_spectral_distance(x, y))(jnp.asarray(b)))(
+            jnp.asarray(a)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+    # same-set: the near-zero diagonal never reaches populations (offdiag
+    # excludes same-index pairs), but it must at least be tiny and finite
+    mat = np.asarray(pairwise_lsd(jnp.asarray(a), jnp.asarray(a)))
+    assert np.all(np.diag(mat) < 1e-3)
 
 
 def test_ecdf():
