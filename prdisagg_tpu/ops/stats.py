@@ -174,7 +174,7 @@ def pairwise_lsd(spectra_a: jax.Array, spectra_b: jax.Array) -> jax.Array:
 
 
 def pairwise_lsd_offdiag(spectra_a: np.ndarray, spectra_b: np.ndarray,
-                         block: int = 256) -> np.ndarray:
+                         block: int = 2048) -> np.ndarray:
     """Flattened all-pairs LSD values excluding same-index pairs, blocked
     to bound memory.
 
