@@ -13,6 +13,7 @@ latents ~ N(0,1), fractions rescaled by cond * norm_scale back to mm/h.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -28,6 +29,17 @@ from prdisagg_tpu.models.io import (
 )
 
 NORM_SCALE = 127.4
+
+
+@partial(jax.jit, static_argnames=("gen",))
+def _apply_generator(gen, params, latent, cond):
+    """Shared jitted forward for every PretrainedGenerator instance.
+
+    flax Modules are frozen dataclasses (hashable pytrees of config), so
+    equal-config instances hit ONE trace here — the paper protocol's epoch
+    curve constructs a PretrainedGenerator per export and a per-instance
+    `jax.jit(lambda ...)` re-traced the same program 50+ times."""
+    return gen.apply(params, latent, cond)
 
 
 class PretrainedGenerator:
@@ -58,7 +70,7 @@ class PretrainedGenerator:
         self.norm_scale = norm_scale
         self.max_batch = max_batch
         self._gen = Generator(self.cfg)
-        self._predict = jax.jit(lambda p, l, c: self._gen.apply(p, l, c))
+        self._predict = lambda p, l, c: _apply_generator(self._gen, p, l, c)
         self._key = jax.random.PRNGKey(seed)
 
     # -- constructors --------------------------------------------------------

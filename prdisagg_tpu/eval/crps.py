@@ -22,6 +22,46 @@ import numpy as np
 from prdisagg_tpu.api.pretrained import PretrainedGenerator
 from prdisagg_tpu.ops.stats import crps_ensemble
 
+from functools import partial
+
+
+@partial(jax.jit,
+         static_argnames=("gen", "n_members", "mb", "latent_dim",
+                          "norm_scale"))
+def _crps_score_chunk(gen, params, reals, dsums, key, n_members, mb,
+                      latent_dim, norm_scale):
+    """One dispatch scoring a chunk of samples: lax.scan over samples, each
+    drawing its on-device n_members ensemble via lax.map of mb-sized
+    generator batches.
+
+    Module-level jit keyed on the (hashable) Generator module: repeated
+    crps_gan calls — the 50 per-epoch probes of the paper protocol's
+    selection stage — share ONE trace instead of re-tracing per call.
+    params stays an explicit argument: closing over it would embed ~80 MB
+    of weights as program constants in the (remote) compile request."""
+    def score_one(real, dsum, latents):
+        cond = (dsum / norm_scale)[None, ..., None]
+
+        def gen_chunk(lat):
+            cond_b = jnp.broadcast_to(cond, (mb, *cond.shape[1:]))
+            frac = gen.apply(params, lat, cond_b)[..., 0]
+            return frac * dsum[None, None]
+
+        ens = jax.lax.map(
+            gen_chunk, latents.reshape(n_members // mb, mb, latent_dim)
+        ).reshape(n_members, *real.shape)
+        crps = crps_ensemble(real, ens)
+        return jnp.mean(crps, axis=(1, 2))
+
+    def body(k, x):
+        real, dsum = x
+        k, sub = jax.random.split(k)
+        latents = jax.random.normal(sub, (n_members, latent_dim))
+        return k, score_one(real, dsum, latents)
+
+    key, rows = jax.lax.scan(body, key, (reals, dsums))
+    return key, rows
+
 
 def crps_gan(
     generator: PretrainedGenerator,
@@ -52,33 +92,9 @@ def crps_gan(
     if n_members % mb != 0:
         raise ValueError(f"n_members {n_members} not divisible by {mb}")
 
-    def score_one(params, real, dsum, latents):
-        cond = (dsum / norm_scale)[None, ..., None]
-
-        def gen_chunk(lat):
-            cond_b = jnp.broadcast_to(cond, (mb, *cond.shape[1:]))
-            frac = generator._gen.apply(params, lat, cond_b)[..., 0]
-            return frac * dsum[None, None]
-
-        ens = jax.lax.map(
-            gen_chunk, latents.reshape(n_members // mb, mb, latent_dim)
-        ).reshape(n_members, *real.shape)
-        crps = crps_ensemble(real, ens)
-        return jnp.mean(crps, axis=(1, 2))
-
-    def score_chunk(params, reals, dsums, key):
-        # params is an explicit argument — closing over it would embed ~80 MB
-        # of weights as program constants in the (remote) compile request
-        def body(k, x):
-            real, dsum = x
-            k, sub = jax.random.split(k)
-            latents = jax.random.normal(sub, (n_members, latent_dim))
-            return k, score_one(params, real, dsum, latents)
-
-        key, rows = jax.lax.scan(body, key, (reals, dsums))
-        return key, rows
-
-    score = jax.jit(score_chunk)
+    def score(params, reals, dsums, key):
+        return _crps_score_chunk(generator._gen, params, reals, dsums, key,
+                                 n_members, mb, latent_dim, norm_scale)
 
     reals_j = jnp.asarray(reals_precip)
     dsums = jnp.sum(reals_j, axis=1)  # (n, nd, nd) mm
