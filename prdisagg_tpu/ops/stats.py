@@ -161,7 +161,11 @@ def pairwise_lsd(spectra_a: jax.Array, spectra_b: jax.Array) -> jax.Array:
     identity stays with the scalar `log_spectral_distance`."""
     la = 10.0 * jnp.log10(spectra_a)
     lb = 10.0 * jnp.log10(spectra_b)
+    # the shared center must stay FINITE: one zero-bin spectrum (log10 ->
+    # -inf) would otherwise poison the mean and with it every centered
+    # spectrum — the direct form only loses that spectrum's own pairs
     center = jnp.mean(la, axis=0)
+    center = jnp.where(jnp.isfinite(center), center, 0.0)
     la = la - center
     lb = lb - center
     sq_a = jnp.sum(la * la, axis=-1)

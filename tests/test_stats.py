@@ -145,6 +145,19 @@ def test_pairwise_lsd_matches_direct_formula():
     assert np.all(np.diag(mat) < 1e-3)
 
 
+def test_pairwise_lsd_zero_bin_nonfinite():
+    """A spectrum with a zero bin must yield nonfinite distances for all of
+    its pairs (run_lsd_evaluation filters nonfinite values before stats) —
+    in both the direct and the GEMM form, log10(0) poisons that spectrum."""
+    a = np.full((3, 5), 2.0, dtype=np.float32)
+    a[1, 2] = 0.0
+    mat = np.asarray(pairwise_lsd(jnp.asarray(a), jnp.asarray(a)))
+    assert not np.any(np.isfinite(mat[1, [0, 2]]))
+    assert not np.any(np.isfinite(mat[[0, 2], 1]))
+    # pairs not involving the poisoned spectrum stay finite
+    assert np.isfinite(mat[0, 2]) and np.isfinite(mat[2, 0])
+
+
 def test_ecdf():
     x, y = ecdf(np.array([3.0, 1.0, 2.0]))
     np.testing.assert_array_equal(x, [1.0, 2.0, 3.0])
