@@ -371,6 +371,52 @@ def cmd_download(args):
     print(f"failed dates: {failed}")
 
 
+def cmd_doctor(args):
+    """Backend health check: one tiny device computation in a subprocess
+    with a hard timeout, so a wedged backend cannot hang this command.
+    rc 0 = healthy, 1 = unhealthy (the wedge signature is detail='timeout')."""
+    import json
+
+    from prdisagg_tpu.utils.watchdog import probe_backend
+
+    res = probe_backend(args.platform, timeout_s=args.timeout)
+    res["platform"] = args.platform or os.environ.get(
+        "JAX_PLATFORMS", "(default)")
+    print(json.dumps(res, indent=2))
+    raise SystemExit(0 if res["ok"] else 1)
+
+
+def cmd_supervise(args):
+    """Run a training command under heartbeat supervision: the child is
+    killed and relaunched if its Trainer stops making device progress
+    (wedged backend); Orbax resume makes the relaunch continue, not
+    restart.  Example:
+
+      prdisagg_tpu supervise --stall-timeout 900 -- \\
+          python scripts/paper_protocol.py --workdir artifacts/pp
+    """
+    from prdisagg_tpu.utils.watchdog import supervise
+
+    cmd = list(args.argv)
+    if cmd and cmd[0] == "--":
+        cmd = cmd[1:]
+    if not cmd:
+        raise SystemExit("supervise: no command given (use `-- cmd ...`)")
+    res = supervise(
+        cmd,
+        heartbeat_path=args.heartbeat,
+        stall_timeout_s=args.stall_timeout,
+        startup_timeout_s=args.startup_timeout,
+        max_restarts=args.max_restarts,
+        probe_platform=args.platform,
+        probe_on_stall=not args.no_probe,
+        probe_max_wait_s=args.probe_max_wait,
+    )
+    print(f"[supervise] rc={res.returncode} restarts={res.restarts} "
+          f"stalls={res.stalls} wall={res.wall_s / 60:.1f} min")
+    raise SystemExit(0 if res.returncode == 0 else 1)
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="prdisagg_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -527,6 +573,38 @@ def build_parser():
     d.add_argument("--end", default="20191231")
     d.add_argument("--out", required=True)
     d.set_defaults(fn=cmd_download)
+
+    dr = sub.add_parser("doctor", help="probe backend health in a "
+                        "subprocess (never hangs on a wedged backend)")
+    dr.add_argument("--platform", default=None,
+                    help="JAX platform to probe (default: environment's)")
+    dr.add_argument("--timeout", type=float, default=60.0)
+    dr.set_defaults(fn=cmd_doctor)
+
+    sv = sub.add_parser(
+        "supervise", help="run a training command under heartbeat "
+        "supervision; kill + resume it if the backend wedges")
+    sv.add_argument("--heartbeat", default="/tmp/prdisagg_heartbeat",
+                    help="liveness file (exported as PRDISAGG_HEARTBEAT; "
+                         "the Trainer beats it every fused-step chunk)")
+    sv.add_argument("--stall-timeout", type=float, default=900.0,
+                    help="seconds of heartbeat silence before the child "
+                         "is declared wedged and killed")
+    sv.add_argument("--startup-timeout", type=float, default=None,
+                    help="silence allowance before the FIRST beat "
+                         "(default 4x stall timeout: cold fused-step "
+                         "compiles through the tunnel take ~26 min)")
+    sv.add_argument("--max-restarts", type=int, default=3)
+    sv.add_argument("--platform", default=None,
+                    help="platform for recovery probes")
+    sv.add_argument("--no-probe", action="store_true",
+                    help="relaunch immediately after a stall kill instead "
+                         "of waiting for a healthy backend probe")
+    sv.add_argument("--probe-max-wait", type=float, default=6 * 3600.0,
+                    help="give up if the backend stays unhealthy this long")
+    sv.add_argument("argv", nargs=argparse.REMAINDER,
+                    help="-- command to run")
+    sv.set_defaults(fn=cmd_supervise)
 
     return p
 

@@ -121,6 +121,14 @@ class Trainer:
         }
         self.epoch = start_epoch
         self._epoch0 = start_epoch  # schedule progress is counted from here
+        # liveness channel for utils.watchdog.supervise: beat once per
+        # fused-step chunk AFTER the metrics host-fetch returns, i.e. only
+        # on confirmed device progress (a wedged backend blocks the fetch,
+        # so the beat goes stale and the supervisor kills + resumes us).
+        # Enabled via the PRDISAGG_HEARTBEAT env var; no-op otherwise.
+        from prdisagg_tpu.utils.watchdog import Heartbeat
+
+        self.heartbeat = Heartbeat.from_env()
         # (epoch, snapshot) of the last COMPLETED epoch — the final/abort
         # checkpoint source (the live state after a NaN abort is poisoned)
         self._last_snap: Optional[tuple] = None
@@ -242,6 +250,8 @@ class Trainer:
                         f"non-finite loss at epoch {self.epoch + 1} "
                         f"chunk {j}: {m}"
                     )
+                if self.heartbeat is not None:
+                    self.heartbeat.beat()
                 for k in self.hist:
                     self.hist[k].append(
                         self.epoch + 1 if k == "epoch" else m[k])

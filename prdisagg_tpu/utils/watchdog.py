@@ -1,0 +1,224 @@
+"""Backend health probing and hang-surviving supervision.
+
+The tunneled TPU backend can WEDGE: ``jax.devices()`` still answers (or, in
+the worst observed case, also hangs) while every compute dispatch blocks
+forever.  Nothing client-side unwedges it, a hung C call cannot be
+interrupted from Python, and the reference has no notion of this failure
+mode at all (its 3-day V100 SLURM job simply dies and is resubmitted by
+hand).  This module productizes the recovery pattern that kept round-4
+training alive through two multi-hour wedges:
+
+* :func:`probe_backend` — run one tiny device computation in a SUBPROCESS
+  with a hard timeout, so a wedged backend can never hang the caller.
+* :class:`Heartbeat` — a liveness file the :class:`~.loop.Trainer` touches
+  after every fused-step chunk (enable by setting the ``PRDISAGG_HEARTBEAT``
+  env var to a path; zero overhead when unset).
+* :func:`supervise` — run a training command as a child process group,
+  kill the group when the heartbeat goes stale, optionally wait for the
+  backend to answer probes again, and relaunch.  Paired with the Trainer's
+  forced Orbax checkpoints (`maybe_resume`), a wedge costs at most
+  ``stall_timeout_s`` plus the un-checkpointed epochs — not the run.
+
+SURVEY.md §5 "failure detection" row; there is no reference counterpart
+(closest: the NaN abort at gan_train_cwgangp_pixelnorm.py:487-488, which
+covers diverging losses but not a dead accelerator).
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+_PROBE_SRC = """
+import os, time
+p = {platform!r}
+if p:
+    os.environ["JAX_PLATFORMS"] = p
+import jax
+if p:
+    # sitecustomize may pre-import jax with another platform latched; the
+    # config update is what actually wins after import
+    jax.config.update("jax_platforms", p)
+import numpy as np
+t0 = time.perf_counter()
+x = jax.device_put(np.ones(8, np.float32))
+s = float(jax.numpy.sum(x))  # host fetch: the only reliable sync
+print("PROBE_OK", s, time.perf_counter() - t0)
+"""
+
+
+def probe_backend(platform: Optional[str] = None,
+                  timeout_s: float = 60.0) -> dict:
+    """One tiny device_put + reduce + host fetch in a fresh subprocess.
+
+    Returns ``{"ok": bool, "latency_s": float|None, "detail": str}``.
+    ``ok=False`` with ``detail="timeout"`` is the wedge signature (the
+    subprocess is killed; the parent never blocks past ``timeout_s``).
+    ``platform=None`` probes whatever platform the environment selects.
+    """
+    src = _PROBE_SRC.format(platform=platform)
+    t0 = time.perf_counter()
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", src],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "latency_s": None, "detail": "timeout"}
+    out = (res.stdout or "") + (res.stderr or "")
+    for line in (res.stdout or "").splitlines():
+        if line.startswith("PROBE_OK"):
+            parts = line.split()
+            lat = float(parts[2]) if len(parts) > 2 else \
+                time.perf_counter() - t0
+            return {"ok": True, "latency_s": round(lat, 4), "detail": "ok"}
+    return {"ok": False, "latency_s": None,
+            "detail": f"rc={res.returncode}: {out.strip()[-500:]}"}
+
+
+class Heartbeat:
+    """Liveness file: `beat()` bumps the mtime; `age_s()` reads staleness.
+
+    The Trainer calls :meth:`beat` once per fused-step chunk (a host-side
+    touch, ~µs — the chunk itself is 100 device steps).  A missing file
+    reads as infinitely stale only after ``started_s`` grace (cold compiles
+    through the tunnel are legitimately ~26 min silent).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+    def beat(self) -> None:
+        # O_CREAT + utime instead of rewrite: atomic enough for an mtime
+        # channel, and never leaves a half-written file
+        with open(self.path, "a"):
+            os.utime(self.path, None)
+
+    def age_s(self) -> Optional[float]:
+        """Seconds since the last beat, or None if no beat yet."""
+        try:
+            return max(0.0, time.time() - os.stat(self.path).st_mtime)
+        except OSError:
+            return None
+
+    @staticmethod
+    def from_env() -> Optional["Heartbeat"]:
+        p = os.environ.get("PRDISAGG_HEARTBEAT")
+        return Heartbeat(p) if p else None
+
+
+@dataclass
+class SuperviseResult:
+    returncode: int
+    restarts: int
+    stalls: int
+    wall_s: float
+
+
+def supervise(
+    argv: Sequence[str],
+    heartbeat_path: str,
+    stall_timeout_s: float = 900.0,
+    startup_timeout_s: Optional[float] = None,
+    max_restarts: int = 3,
+    poll_s: float = 10.0,
+    probe_platform: Optional[str] = None,
+    probe_on_stall: bool = True,
+    probe_timeout_s: float = 60.0,
+    probe_interval_s: float = 120.0,
+    probe_max_wait_s: float = 6 * 3600.0,
+    log=print,
+) -> SuperviseResult:
+    """Run ``argv`` under heartbeat supervision; restart on stall.
+
+    The child gets ``PRDISAGG_HEARTBEAT=heartbeat_path`` in its environment
+    (the Trainer beats automatically) and runs in its own process group so
+    a stall kill reaps every descendant.  A stall is declared when the
+    heartbeat file is older than ``stall_timeout_s`` (or, before the first
+    beat, when the child has been silent ``startup_timeout_s`` — default
+    ``4 * stall_timeout_s`` to allow cold compiles).  After a stall kill,
+    if ``probe_on_stall``, the relaunch waits until :func:`probe_backend`
+    succeeds (a wedged backend would hang the restarted child identically —
+    observed: killing the client never unwedges the server).
+
+    A clean child exit (rc == 0) ends supervision; a nonzero exit is
+    returned as-is without restart (crashes are the caller's bug — only
+    HANGS are the backend's).  Restarts resume training via the Trainer's
+    ``maybe_resume`` as long as the command's workdir is stable.
+    """
+    if startup_timeout_s is None:
+        startup_timeout_s = 4 * stall_timeout_s
+    hb = Heartbeat(heartbeat_path)
+    env = dict(os.environ, PRDISAGG_HEARTBEAT=heartbeat_path)
+    restarts = stalls = 0
+    t_all = time.time()
+
+    while True:
+        # stale beats from a previous attempt must not mask a startup hang
+        try:
+            os.remove(heartbeat_path)
+        except OSError:
+            pass
+        t_start = time.time()
+        log(f"[supervise] launch (attempt {restarts + 1}): "
+            f"{' '.join(argv)}", flush=True)
+        child = subprocess.Popen(list(argv), env=env, start_new_session=True)
+        stalled = False
+        while True:
+            rc = child.poll()
+            if rc is not None:
+                break
+            age = hb.age_s()
+            silent = (time.time() - t_start if age is None else age)
+            limit = startup_timeout_s if age is None else stall_timeout_s
+            if silent > limit:
+                stalled = True
+                phase = "startup" if age is None else "step"
+                log(f"[supervise] {phase} stall: heartbeat silent "
+                    f"{silent:.0f}s > {limit:.0f}s; killing process group "
+                    f"{child.pid}", flush=True)
+                try:
+                    os.killpg(child.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                child.wait()
+                break
+            time.sleep(poll_s)
+
+        if not stalled:
+            log(f"[supervise] child exited rc={child.returncode} after "
+                f"{restarts} restart(s)", flush=True)
+            return SuperviseResult(child.returncode, restarts, stalls,
+                                   time.time() - t_all)
+
+        stalls += 1
+        if restarts >= max_restarts:
+            log(f"[supervise] giving up: {stalls} stall(s), "
+                f"max_restarts={max_restarts} exhausted", flush=True)
+            return SuperviseResult(-1, restarts, stalls, time.time() - t_all)
+        restarts += 1
+
+        if probe_on_stall:
+            t_probe = time.time()
+            while True:
+                r = probe_backend(probe_platform, timeout_s=probe_timeout_s)
+                if r["ok"]:
+                    log(f"[supervise] backend healthy "
+                        f"(probe {r['latency_s']}s); relaunching", flush=True)
+                    break
+                waited = time.time() - t_probe
+                if waited > probe_max_wait_s:
+                    log(f"[supervise] backend still down after "
+                        f"{waited / 3600:.1f}h of probes; giving up",
+                        flush=True)
+                    return SuperviseResult(-1, restarts, stalls,
+                                           time.time() - t_all)
+                log(f"[supervise] backend unhealthy ({r['detail']}); "
+                    f"retry in {probe_interval_s:.0f}s", flush=True)
+                time.sleep(probe_interval_s)
