@@ -143,6 +143,9 @@ def generate_and_plot(
     n_map = min(n_map_conditions, len(reals))
     key = jax.random.PRNGKey(seed + 1)
     for i in range(n_map):
+        from prdisagg_tpu.utils.watchdog import beat_if_enabled
+
+        beat_if_enabled()  # liveness for `cli supervise`
         key, sub = jax.random.split(key)
         ens = np.asarray(jax.vmap(
             lambda k: downscale_spatiotemporal(
@@ -208,6 +211,9 @@ def crps_rainfarm(
             d = jnp.concatenate([d, jnp.ones((chunk - c, *d.shape[1:]))])
             k = jnp.concatenate([k, k[-1:].repeat(chunk - c, axis=0)])
         outs.append(score(r, d, k)[:c])  # device arrays: no per-chunk sync
+        from prdisagg_tpu.utils.watchdog import beat_if_enabled
+
+        beat_if_enabled()
     out = np.concatenate([np.asarray(o) for o in outs])
     if outfile:
         os.makedirs(os.path.dirname(outfile) or ".", exist_ok=True)

@@ -26,6 +26,7 @@ from prdisagg_tpu.api.pretrained import PretrainedGenerator
 from prdisagg_tpu.core.config import EvalConfig, ExperimentConfig
 from prdisagg_tpu.data.sampler import DeviceDataset
 from prdisagg_tpu.ops.stats import ecdf
+from prdisagg_tpu.utils.watchdog import beat_if_enabled
 
 
 def daily_cycle_correlation(res: dict) -> float:
@@ -102,6 +103,7 @@ class Evaluator:
         reals = np.asarray(reals)[..., 0]
 
         for i in range(n_conditions):
+            beat_if_enabled()  # liveness for `cli supervise` (~100 figures)
             plotcount = i + 1
             generated = self._fakes_for_cond(conds[i], n_fake)
             dsum = self._dsum(np.asarray(conds[i]), self.norm_scale)
@@ -167,6 +169,7 @@ class Evaluator:
                 fields_gen.append(gen_mm.astype(np.float32))
                 fields_real.append(real_mm.astype(np.float32))
             done += b
+            beat_if_enabled()
 
         res = {
             "amean_fraction_gen": np.concatenate(am_frac_gen),
@@ -279,6 +282,7 @@ class Evaluator:
         )
         hours = np.arange(1, 25)
         for isample in range(n_conditions):
+            beat_if_enabled()
             reals, conds = self._sample_reals(1)
             real = np.asarray(reals)[0, ..., 0]
             cond = conds[0]
@@ -324,6 +328,7 @@ class Evaluator:
         latent = jax.random.normal(self._next_key(), (n_members, self._latent_dim))
         all_pvals = []
         for isample in range(n_pairs):
+            beat_if_enabled()
             _, cond1 = self._sample_reals(1)
             _, cond2 = self._sample_reals(1)
             gen1 = self._fakes_for_cond(cond1[0], n_members, latent)

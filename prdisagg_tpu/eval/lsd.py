@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from prdisagg_tpu.ops.stats import pairwise_lsd_offdiag, radial_spectra
+from prdisagg_tpu.utils.watchdog import beat_if_enabled
 
 
 def spectra_of_fields(fields: np.ndarray, chunk: int = 2048) -> np.ndarray:
@@ -24,6 +25,7 @@ def spectra_of_fields(fields: np.ndarray, chunk: int = 2048) -> np.ndarray:
     out = []
     for i0 in range(0, len(flat), chunk):
         out.append(np.asarray(radial_spectra(jnp.asarray(flat[i0 : i0 + chunk]))))
+        beat_if_enabled()
     return np.concatenate(out)
 
 

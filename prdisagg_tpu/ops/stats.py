@@ -208,4 +208,9 @@ def pairwise_lsd_offdiag(spectra_a: np.ndarray, spectra_b: np.ndarray,
         in_range = rows < nb
         keep[np.nonzero(in_range)[0], rows[in_range]] = False
         out.append(blk[keep])
+        # each block is a confirmed device->host fetch: a natural liveness
+        # beat for `cli supervise` (full populations run ~28 min on-chip)
+        from prdisagg_tpu.utils.watchdog import beat_if_enabled
+
+        beat_if_enabled()
     return np.concatenate(out)

@@ -113,6 +113,25 @@ class Heartbeat:
         return Heartbeat(p) if p else None
 
 
+_env_hb: Optional[Heartbeat] = None
+
+
+def beat_if_enabled() -> None:
+    """Touch the PRDISAGG_HEARTBEAT liveness file if the env var is set.
+
+    Call-site sugar for long host-side chunk loops (the eval battery's CRPS/
+    LSD/statistics stages run 20-50 min between Trainer beats — without
+    their own beats a supervisor would misread a healthy battery as a
+    wedge).  No-op (one dict lookup) when the env var is unset."""
+    global _env_hb
+    p = os.environ.get("PRDISAGG_HEARTBEAT")
+    if not p:
+        return
+    if _env_hb is None or _env_hb.path != p:
+        _env_hb = Heartbeat(p)
+    _env_hb.beat()
+
+
 @dataclass
 class SuperviseResult:
     returncode: int
@@ -169,27 +188,48 @@ def supervise(
         log(f"[supervise] launch (attempt {restarts + 1}): "
             f"{' '.join(argv)}", flush=True)
         child = subprocess.Popen(list(argv), env=env, start_new_session=True)
+
+        # The child lives in its own process group (required for stall
+        # kills to reap descendants), so an outer `timeout`/TERM on the
+        # supervisor would ORPHAN it — forward termination explicitly.
+        def _forward(sig, frame):
+            try:
+                os.killpg(child.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            raise SystemExit(128 + sig)
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _forward)
+            except ValueError:  # not the main thread: no forwarding
+                pass
         stalled = False
-        while True:
-            rc = child.poll()
-            if rc is not None:
-                break
-            age = hb.age_s()
-            silent = (time.time() - t_start if age is None else age)
-            limit = startup_timeout_s if age is None else stall_timeout_s
-            if silent > limit:
-                stalled = True
-                phase = "startup" if age is None else "step"
-                log(f"[supervise] {phase} stall: heartbeat silent "
-                    f"{silent:.0f}s > {limit:.0f}s; killing process group "
-                    f"{child.pid}", flush=True)
-                try:
-                    os.killpg(child.pid, signal.SIGKILL)
-                except ProcessLookupError:
-                    pass
-                child.wait()
-                break
-            time.sleep(poll_s)
+        try:
+            while True:
+                rc = child.poll()
+                if rc is not None:
+                    break
+                age = hb.age_s()
+                silent = (time.time() - t_start if age is None else age)
+                limit = startup_timeout_s if age is None else stall_timeout_s
+                if silent > limit:
+                    stalled = True
+                    phase = "startup" if age is None else "step"
+                    log(f"[supervise] {phase} stall: heartbeat silent "
+                        f"{silent:.0f}s > {limit:.0f}s; killing process "
+                        f"group {child.pid}", flush=True)
+                    try:
+                        os.killpg(child.pid, signal.SIGKILL)
+                    except ProcessLookupError:
+                        pass
+                    child.wait()
+                    break
+                time.sleep(poll_s)
+        finally:
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
 
         if not stalled:
             log(f"[supervise] child exited rc={child.returncode} after "

@@ -123,6 +123,24 @@ def main():
         summary["stages"][stage] = {"seconds": round(dt, 1), **extra}
         print(f"[{stage}] {dt:.1f}s {extra if extra else ''}", flush=True)
 
+    # Stage-level resume: a rerun in the same workdir (a `cli supervise`
+    # relaunch after a backend wedge, or a manual retry) skips completed
+    # battery stages via protocol_state.json — training already resumes
+    # from Orbax, this extends the same property to the ~50-min evaluation
+    # battery.  A changed protocol config invalidates everything.
+    from prdisagg_tpu.utils.stagecache import StageCache
+
+    cache = StageCache(os.path.join(args.workdir, "protocol_state.json"))
+    fingerprint = {k: vars(args)[k]
+                   for k in ("n_days", "heldout_days", "epochs", "smoke",
+                             "ema_decay", "plain_data")}
+    stored_cfg = cache.get("config")
+    if stored_cfg is not None and stored_cfg.get("fp") != fingerprint:
+        print("[resume] protocol config changed; clearing stage cache",
+              flush=True)
+        cache.clear()
+    cache.mark("config", fp=fingerprint)
+
     # ---- stage 1: datasets (train + HELD-OUT eval split) -------------------
     t0 = time.perf_counter()
     dcfg = DataConfig()
@@ -183,7 +201,10 @@ def main():
     sel_reals = np.asarray(ds_eval.sample_patches_raw(
         jax.random.PRNGKey(991), min(100, n_crps)))
     probe_members = min(100, n_members)
-    curve = {}
+    # scored candidates persist incrementally: a relaunch mid-curve resumes
+    # at the first unscored export instead of rescoring all ~50
+    stored_curve = cache.get("epoch_curve")
+    curve = dict(stored_curve["curve"]) if stored_curve else {}
     paths_by_key = {}
     for path in sorted(glob.glob(os.path.join(model_dir, "gen_*.h5"))):
         # EMA exports (gen_ema_*, written when TrainConfig.ema_decay > 0)
@@ -192,6 +213,9 @@ def main():
         is_ema = os.path.basename(path).startswith("gen_ema_")
         e = int(os.path.splitext(path)[0].rsplit("_", 1)[1])
         key = f"ema:{e}" if is_ema else str(e)
+        paths_by_key[key] = path
+        if key in curve:
+            continue
         pg = PretrainedGenerator.from_keras_h5(path, seed=354)
         ev = Evaluator(exp, ds_eval, pg, workdir="/tmp/paper_epoch_curve",
                        epoch=e)
@@ -201,7 +225,7 @@ def main():
         probe = float(crps_gan(pg, sel_reals, n_members=probe_members,
                                member_batch=probe_members, seed=354).mean())
         curve[key] = {"corr": round(corr, 4), "crps": round(probe, 5)}
-        paths_by_key[key] = path
+        cache.mark("epoch_curve", curve=curve)
         print(f"  epoch {key:>7s}: corr {corr:.4f}  probe-CRPS {probe:.5f}",
               flush=True)
     max_corr = max(v["corr"] for v in curve.values())
@@ -219,79 +243,124 @@ def main():
 
     peak_path = paths_by_key[peak_key]
     pg = PretrainedGenerator.from_keras_h5(peak_path, seed=354)
+    # a different selected checkpoint invalidates every downstream stage
+    sel = cache.get("selection")
+    if sel is not None and sel.get("peak_key") != peak_key:
+        print(f"[resume] peak changed {sel.get('peak_key')} -> {peak_key}; "
+              f"clearing battery stages", flush=True)
+        cache.clear("eval", "rainfarm", "crps", "lsd")
+    cache.mark("selection", peak_key=peak_key)
 
     # ---- stage 4a: evaluation phases 1-5 on the peak checkpoint ------------
     t0 = time.perf_counter()
-    ev = Evaluator(exp, ds_eval, pg, workdir=args.workdir, epoch=peak_epoch)
-    res, pvals = ev.run_all(
-        n_map_conditions=n_map, n_stat_samples=n_stat,
-        n_ks_conditions=ks_pairs, n_ks_members=ks_members,
-    )
-    held_corr = float(daily_cycle_correlation(res))
-    ks = np.asarray(pvals)  # (pairs, 24)
-    # the same-noise KS check asks: do DIFFERENT conditions give the model
-    # DIFFERENT conditional distributions (small p)?  Report the fraction of
-    # (pair, hour) cells distinguishable at 5% — the profile the reference
-    # inspects in check_conditional_dist_samenoise_KSpval*.txt
-    ks_frac_distinct = float((ks < 0.05).mean())
-    mark("eval_phases_1to5", t0, daily_cycle_corr=round(held_corr, 4),
-         ks_frac_distinct_p05=round(ks_frac_distinct, 4),
-         ks_median_p=float(np.median(ks)))
-
-    reals = res["real_samples"]          # (n_stat, 24, nd, nd) mm/h
-    gens = res["generated_samples"]
+    gen_npy = os.path.join(datadir, "generated_samples.npy")
+    real_npy = os.path.join(datadir, "real_samples.npy")
+    ev_cached = cache.get("eval")
+    if ev_cached is not None and os.path.exists(gen_npy) \
+            and os.path.exists(real_npy):
+        held_corr = ev_cached["daily_cycle_corr"]
+        ks_frac_distinct = ev_cached["ks_frac_distinct_p05"]
+        reals = np.load(real_npy)
+        gens = np.load(gen_npy)
+        mark("eval_phases_1to5", t0, cached=True, **ev_cached)
+    else:
+        ev = Evaluator(exp, ds_eval, pg, workdir=args.workdir,
+                       epoch=peak_epoch)
+        res, pvals = ev.run_all(
+            n_map_conditions=n_map, n_stat_samples=n_stat,
+            n_ks_conditions=ks_pairs, n_ks_members=ks_members,
+        )
+        held_corr = float(daily_cycle_correlation(res))
+        ks = np.asarray(pvals)  # (pairs, 24)
+        # the same-noise KS check asks: do DIFFERENT conditions give the
+        # model DIFFERENT conditional distributions (small p)?  Report the
+        # fraction of (pair, hour) cells distinguishable at 5% — the profile
+        # the reference inspects in check_conditional_dist_samenoise_KSpval*
+        ks_frac_distinct = float((ks < 0.05).mean())
+        payload = cache.mark("eval",
+                             daily_cycle_corr=round(held_corr, 4),
+                             ks_frac_distinct_p05=round(ks_frac_distinct, 4),
+                             ks_median_p=float(np.median(ks)))
+        mark("eval_phases_1to5", t0, **payload)
+        reals = res["real_samples"]      # (n_stat, 24, nd, nd) mm/h
+        gens = res["generated_samples"]
 
     # ---- stage 4b: RainFARM baseline (calibrate -> generate -> plots) ------
     t0 = time.perf_counter()
     rf_cfg = RainFarmConfig(n_calib=rf_calib, n_repeat=rf_rep)
-    slopes = calibrate(ds_train, rf_cfg, outdir=datadir)
-    alpha, beta = slopes[0]
-    generate_and_plot(
-        reals[:n_map], alpha, beta, rf_cfg,
-        plotdir=os.path.join(args.workdir, "plots_generated_rainfarm"),
-        datadir=datadir)
-    rf_fields = generate_for_daily_sums(
-        reals[:n_lsd].sum(axis=1), alpha, beta, rf_cfg, seed=1)
-    mark("rainfarm", t0, alpha=round(float(alpha), 3),
-         beta=round(float(beta), 3))
+    rf_npy = os.path.join(datadir, "rainfarm_fields_for_lsd.npy")
+    rf_cached = cache.get("rainfarm")
+    if rf_cached is not None and os.path.exists(rf_npy):
+        alpha, beta = rf_cached["alpha"], rf_cached["beta"]
+        rf_fields = np.load(rf_npy)
+        mark("rainfarm", t0, cached=True, **rf_cached)
+    else:
+        slopes = calibrate(ds_train, rf_cfg, outdir=datadir)
+        alpha, beta = slopes[0]
+        generate_and_plot(
+            reals[:n_map], alpha, beta, rf_cfg,
+            plotdir=os.path.join(args.workdir, "plots_generated_rainfarm"),
+            datadir=datadir)
+        rf_fields = generate_for_daily_sums(
+            reals[:n_lsd].sum(axis=1), alpha, beta, rf_cfg, seed=1)
+        np.save(rf_npy, np.asarray(rf_fields, dtype=np.float32))
+        payload = cache.mark("rainfarm", alpha=round(float(alpha), 3),
+                             beta=round(float(beta), 3))
+        mark("rainfarm", t0, **payload)
 
     # ---- stage 4c: CRPS — GAN vs random baseline vs RainFARM ---------------
     t0 = time.perf_counter()
-    crps_reals = reals[:n_crps]
-    gan_crps = crps_gan(pg, crps_reals, n_members=n_members, seed=354)
-    t_gan = time.perf_counter() - t0
-    baseline = np.load(os.path.join(datadir,
-                                    "rainfarm_calibration_data.npy"))
-    rnd_crps = crps_random_baseline(crps_reals, baseline)
-    t_rnd = time.perf_counter() - t0 - t_gan
-    rf_crps = crps_rainfarm(
-        crps_reals, alpha, beta, rf_cfg, n_members=n_members,
-        outfile=os.path.join(datadir, "crps_results_rainfarm.pkl"))
-    import pickle
+    crps_cached = cache.get("crps")
+    if crps_cached is not None:
+        crps_summary = crps_cached["summary"]
+        mark("crps", t0, cached=True,
+             **{k: crps_summary[k] for k in ("gan", "random", "rainfarm")})
+    else:
+        crps_reals = reals[:n_crps]
+        gan_crps = crps_gan(pg, crps_reals, n_members=n_members, seed=354)
+        t_gan = time.perf_counter() - t0
+        baseline = np.load(os.path.join(datadir,
+                                        "rainfarm_calibration_data.npy"))
+        rnd_crps = crps_random_baseline(crps_reals, baseline)
+        t_rnd = time.perf_counter() - t0 - t_gan
+        rf_crps = crps_rainfarm(
+            crps_reals, alpha, beta, rf_cfg, n_members=n_members,
+            outfile=os.path.join(datadir, "crps_results_rainfarm.pkl"))
+        import pickle
 
-    with open(os.path.join(
-            datadir, f"crps_results_n_sample{len(crps_reals)}.pkl"),
-            "wb") as f:
-        pickle.dump((gan_crps, rnd_crps), f)
-    crps_summary = analyze(gan_crps, rnd_crps, rf_crps, outdir=datadir,
-                           n_bootstrap=n_boot)
-    mark("crps", t0, n_samples=len(crps_reals), n_members=n_members,
-         gan=round(crps_summary["gan"], 5),
-         random=round(crps_summary["random"], 5),
-         rainfarm=round(crps_summary["rainfarm"], 5),
-         ttest_p=crps_summary["ttest_p_gan_vs_random"],
-         bootstrap_diff=crps_summary["bootstrap_diff"],
-         gan_samples_per_sec=round(len(crps_reals) / t_gan, 1),
-         random_samples_per_sec=round(len(crps_reals) / max(t_rnd, 1e-9), 1))
+        with open(os.path.join(
+                datadir, f"crps_results_n_sample{len(crps_reals)}.pkl"),
+                "wb") as f:
+            pickle.dump((gan_crps, rnd_crps), f)
+        crps_summary = analyze(gan_crps, rnd_crps, rf_crps, outdir=datadir,
+                               n_bootstrap=n_boot)
+        cache.mark("crps", summary={
+            k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+            for k, v in crps_summary.items()})
+        mark("crps", t0, n_samples=len(crps_reals), n_members=n_members,
+             gan=round(crps_summary["gan"], 5),
+             random=round(crps_summary["random"], 5),
+             rainfarm=round(crps_summary["rainfarm"], 5),
+             ttest_p=crps_summary["ttest_p_gan_vs_random"],
+             bootstrap_diff=crps_summary["bootstrap_diff"],
+             gan_samples_per_sec=round(len(crps_reals) / t_gan, 1),
+             random_samples_per_sec=round(
+                 len(crps_reals) / max(t_rnd, 1e-9), 1))
 
     # ---- stage 4d: log-spectral distances ----------------------------------
     t0 = time.perf_counter()
-    dists = run_lsd_evaluation(
-        reals[:n_lsd], gens[:n_lsd], rf_fields, n_samples=n_lsd,
-        outdir=datadir, plotdir=os.path.join(args.workdir, "plots"))
-    lsd_medians = {k: round(float(np.median(v[np.isfinite(v)])), 4)
-                   for k, v in dists.items()}
-    mark("lsd", t0, medians=lsd_medians)
+    lsd_cached = cache.get("lsd")
+    if lsd_cached is not None:
+        lsd_medians = lsd_cached["medians"]
+        mark("lsd", t0, cached=True, medians=lsd_medians)
+    else:
+        dists = run_lsd_evaluation(
+            reals[:n_lsd], gens[:n_lsd], rf_fields, n_samples=n_lsd,
+            outdir=datadir, plotdir=os.path.join(args.workdir, "plots"))
+        lsd_medians = {k: round(float(np.median(v[np.isfinite(v)])), 4)
+                       for k, v in dists.items()}
+        cache.mark("lsd", medians=lsd_medians)
+        mark("lsd", t0, medians=lsd_medians)
 
     # ---- verdict ------------------------------------------------------------
     wall = time.perf_counter() - t_all

@@ -15,6 +15,7 @@ import time
 
 from prdisagg_tpu.utils.watchdog import (
     Heartbeat,
+    beat_if_enabled,
     probe_backend,
     supervise,
 )
@@ -40,6 +41,39 @@ def test_heartbeat_from_env(tmp_path, monkeypatch):
     monkeypatch.setenv("PRDISAGG_HEARTBEAT", p)
     hb = Heartbeat.from_env()
     assert hb is not None and hb.path == p
+
+
+def test_beat_if_enabled(tmp_path, monkeypatch):
+    monkeypatch.delenv("PRDISAGG_HEARTBEAT", raising=False)
+    beat_if_enabled()  # no-op without the env var
+    p = str(tmp_path / "hb")
+    monkeypatch.setenv("PRDISAGG_HEARTBEAT", p)
+    beat_if_enabled()
+    assert os.path.exists(p)
+    # retargets when the env var changes (cached Heartbeat is per-path)
+    p2 = str(tmp_path / "hb2")
+    monkeypatch.setenv("PRDISAGG_HEARTBEAT", p2)
+    beat_if_enabled()
+    assert os.path.exists(p2)
+
+
+def test_eval_battery_stages_beat(tmp_path, monkeypatch):
+    # the eval battery runs 20-50 min between Trainer beats at full scale;
+    # its chunk loops must beat on their own or a supervisor misreads a
+    # healthy battery as a wedge
+    import numpy as np
+
+    from prdisagg_tpu.eval.lsd import spectra_of_fields
+    from prdisagg_tpu.ops.stats import pairwise_lsd_offdiag
+
+    p = str(tmp_path / "hb")
+    monkeypatch.setenv("PRDISAGG_HEARTBEAT", p)
+    fields = np.random.RandomState(0).gamma(1.0, 1.0, (2, 24, 16, 16))
+    sp = spectra_of_fields(fields.astype(np.float32))
+    assert os.path.exists(p)
+    os.remove(p)
+    pairwise_lsd_offdiag(sp[:8], sp[:8], block=4)
+    assert os.path.exists(p)
 
 
 def test_probe_backend_cpu_ok():
@@ -127,6 +161,49 @@ def test_supervise_gives_up_after_max_restarts(tmp_path):
                     probe_on_stall=False, log=lambda *a, **k: None)
     assert res.returncode == -1
     assert res.restarts == 1 and res.stalls == 2
+
+
+def test_supervise_forwards_sigterm_to_child_group(tmp_path):
+    # an outer `timeout`/TERM on the supervisor must not orphan the child
+    # (it lives in its own process group for stall kills)
+    import signal
+    import subprocess
+
+    pidfile = tmp_path / "child_pid"
+    hb = str(tmp_path / "hb")
+    child = tmp_path / "child.py"
+    child.write_text(textwrap.dedent(f"""
+        import os, time
+        open({str(pidfile)!r}, "w").write(str(os.getpid()))
+        hb = {hb!r}
+        while True:
+            open(hb, "a").close(); os.utime(hb, None)
+            time.sleep(0.2)
+    """))
+    sup = tmp_path / "sup.py"
+    sup.write_text(textwrap.dedent(f"""
+        import sys
+        from prdisagg_tpu.utils.watchdog import supervise
+        supervise([sys.executable, {str(child)!r}], {hb!r},
+                  stall_timeout_s=60, poll_s=0.2, probe_on_stall=False,
+                  log=lambda *a, **k: None)
+    """))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.Popen([sys.executable, str(sup)], cwd=repo, env=env)
+    t0 = time.time()
+    while not pidfile.exists() and time.time() - t0 < 60:
+        time.sleep(0.2)
+    assert pidfile.exists(), "child never started"
+    proc.send_signal(signal.SIGTERM)
+    assert proc.wait(timeout=30) == 143  # 128 + SIGTERM: our handler ran
+    # the killed grandchild may linger as a zombie until init reaps it;
+    # "dead" here means it stopped beating (the functional requirement)
+    m0 = os.stat(hb).st_mtime
+    time.sleep(1.5)
+    assert os.stat(hb).st_mtime == m0, \
+        "grandchild kept beating after the supervisor's termination"
 
 
 def test_supervise_propagates_crash_without_restart(tmp_path):
