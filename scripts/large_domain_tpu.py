@@ -79,12 +79,18 @@ def main():
 
     tr = Trainer(exp, ds, workdir=workdir, on_epoch_end=on_epoch_end,
                  plot_every_epochs=0)
+    resumed = tr.maybe_resume()
+    if resumed:
+        # a supervise/wedge relaunch continues instead of retraining; the
+        # steady-rate anchor is then void (partial run), marked nan
+        print(f"[resume] at epoch {tr.epoch}", flush=True)
+        marks["t1"] = time.perf_counter()
     t0 = time.perf_counter()
     tr.fit(progress=True)
     t_end = time.perf_counter()
     spe = max(1, n_train // 32)
     steady = (epochs - 1) * spe / (t_end - marks["t1"]) \
-        if epochs > 1 else float("nan")
+        if epochs > 1 and not resumed else float("nan")
     emit(f"[train] {epochs} epochs x {spe} steps: total {t_end - t0:.1f}s, "
          f"steady {steady:.2f} steps/s (bf16 default, excl. compile epoch)")
 

@@ -69,6 +69,19 @@ def main():
                         "per-epoch generator exports")
     p.add_argument("--smoke", action="store_true",
                    help="tiny counts everywhere (CI plumbing check)")
+    p.add_argument("--mini", action="store_true",
+                   help="intermediate battery scale: 1k x 200 CRPS, "
+                        "200-sample LSD, 5x200 KS.  CPU-feasible fallback "
+                        "for a PRELIMINARY verdict when the accelerator "
+                        "backend is down; pair with --n-days 300 "
+                        "--epochs 15 --model-scale 0.25 or similar")
+    p.add_argument("--model-scale", type=float, default=1.0,
+                   help="width multiplier on every channel count and the "
+                        "latent dim (flagship=1.0).  Measured: flagship "
+                        "width cannot finish one epoch-1 compile+40 steps "
+                        "in 25 min on the 1-core CPU host, so CPU fallback "
+                        "runs need ~0.25; results are then preliminary, "
+                        "not reference-protocol")
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="track an EMA generator during training (exports "
                         "gen_ema_*.h5 that compete in epoch selection); "
@@ -107,6 +120,10 @@ def main():
         smoke_model = ModelConfig(
             ndomain=16, latent_dim=8, gen_channels=(8, 8, 8),
             base_channels=8, critic_channels=(8, 8, 8, 8))
+    elif args.mini:
+        n_crps, n_members, n_lsd, n_stat = 1000, 200, 200, 2000
+        ks_pairs, ks_members, n_map, rf_calib, rf_rep, n_boot = \
+            5, 200, 5, 1000, 2, 2000
     else:
         # EvalConfig reference defaults (generate_and_evaluate*.py)
         n_crps, n_members, n_lsd, n_stat = 10_000, 1000, 1000, 10_000
@@ -133,7 +150,8 @@ def main():
     cache = StageCache(os.path.join(args.workdir, "protocol_state.json"))
     fingerprint = {k: vars(args)[k]
                    for k in ("n_days", "heldout_days", "epochs", "smoke",
-                             "ema_decay", "plain_data")}
+                             "mini", "model_scale", "ema_decay",
+                             "plain_data")}
     stored_cfg = cache.get("config")
     if stored_cfg is not None and stored_cfg.get("fp") != fingerprint:
         print("[resume] protocol config changed; clearing stage cache",
@@ -158,12 +176,26 @@ def main():
          heldout_patches=len(eval_idx))
 
     # ---- stage 2: training at reference scale ------------------------------
+    model_override = smoke_model if args.smoke else None
+    if model_override is None and args.model_scale != 1.0:
+        from prdisagg_tpu.core.config import ModelConfig
+
+        s = args.model_scale
+        base = ModelConfig()
+        model_override = ModelConfig(
+            latent_dim=max(8, int(base.latent_dim * s)),
+            gen_channels=tuple(max(8, int(c * s))
+                               for c in base.gen_channels),
+            base_channels=max(8, int(base.base_channels * s)),
+            critic_channels=tuple(max(8, int(c * s))
+                                  for c in base.critic_channels),
+        )
     exp = ExperimentConfig(
         data=dcfg,
         train=TrainConfig(schedule=((args.epochs, 32),), seed=0,
                           log_every_steps=100, ema_decay=args.ema_decay),
         name="paper_protocol",
-        model_override=smoke_model if args.smoke else None,
+        model_override=model_override,
     )
     model_dir = os.path.join(args.workdir, "trained_models", exp.name)
     # raw exports only — with --ema-decay there are two exports per epoch

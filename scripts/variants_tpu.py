@@ -85,12 +85,18 @@ def main():
 
         tr = Trainer(exp, ds, workdir=workdir, on_epoch_end=on_epoch_end,
                      plot_every_epochs=0)
+        resumed = tr.maybe_resume()
+        if resumed:
+            # a supervise/wedge relaunch continues instead of retraining;
+            # the steady-rate anchor is then void (partial run), marked nan
+            print(f"[{variant}] resumed at epoch {tr.epoch}", flush=True)
+            marks["t1"] = time.perf_counter()
         t0 = time.perf_counter()
         tr.fit(progress=True)
         t_end = time.perf_counter()
         spe = max(1, len(indices) // 32)
         steady = (epochs - 1) * spe / (t_end - marks["t1"]) \
-            if epochs > 1 else float("nan")
+            if epochs > 1 and not resumed else float("nan")
         emit(f"[{variant}] {epochs} epochs x {spe} steps "
              f"({len(indices)} patches): total {t_end - t0:.1f}s, "
              f"steady {steady:.1f} steps/s (excl. compile epoch)")
