@@ -140,6 +140,18 @@ class SuperviseResult:
     wall_s: float
 
 
+def _cpu_seconds(pid: int) -> Optional[float]:
+    """User+system CPU seconds of one process from /proc (Linux)."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        # fields 14/15 of stat are utime/stime; after stripping pid+comm
+        # they land at indices 11/12
+        return (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def supervise(
     argv: Sequence[str],
     heartbeat_path: str,
@@ -147,6 +159,7 @@ def supervise(
     startup_timeout_s: Optional[float] = None,
     max_restarts: int = 3,
     poll_s: float = 10.0,
+    busy_cpu_fraction: float = 0.2,
     probe_platform: Optional[str] = None,
     probe_on_stall: bool = True,
     probe_timeout_s: float = 60.0,
@@ -165,6 +178,14 @@ def supervise(
     if ``probe_on_stall``, the relaunch waits until :func:`probe_backend`
     succeeds (a wedged backend would hang the restarted child identically —
     observed: killing the client never unwedges the server).
+
+    A heartbeat-silent child that is BUSY is not a stall: compiles and
+    long device chunks can legitimately go beat-less for tens of minutes,
+    but they burn host CPU (observed ~97%), while a wedged client blocks
+    in an RPC wait at ~0%.  A kill therefore also requires the child's
+    recent CPU utilisation to be below ``busy_cpu_fraction`` (measured
+    over the trailing stall window from /proc; direct child only — the
+    exec-chain keeps the pid).  Set 0.0 to kill on silence alone.
 
     A clean child exit (rc == 0) ends supervision; a nonzero exit is
     returned as-is without restart (crashes are the caller's bug — only
@@ -206,20 +227,47 @@ def supervise(
             except ValueError:  # not the main thread: no forwarding
                 pass
         stalled = False
+        cpu_samples: list = []  # (wall_t, cpu_seconds) trail for busy check
+        last_busy_log = 0.0
         try:
             while True:
                 rc = child.poll()
                 if rc is not None:
                     break
+                now = time.time()
+                cpu = _cpu_seconds(child.pid)
+                if cpu is not None:
+                    cpu_samples.append((now, cpu))
+                    # keep roughly one stall window of history
+                    horizon = now - max(stall_timeout_s, startup_timeout_s)
+                    while len(cpu_samples) > 2 and cpu_samples[1][0] < horizon:
+                        cpu_samples.pop(0)
                 age = hb.age_s()
-                silent = (time.time() - t_start if age is None else age)
+                silent = (now - t_start if age is None else age)
                 limit = startup_timeout_s if age is None else stall_timeout_s
                 if silent > limit:
+                    busy = None
+                    if busy_cpu_fraction > 0 and len(cpu_samples) >= 2:
+                        (t0c, c0), (t1c, c1) = cpu_samples[0], cpu_samples[-1]
+                        if t1c > t0c:
+                            busy = (c1 - c0) / (t1c - t0c)
+                    if busy is not None and busy >= busy_cpu_fraction:
+                        # silent but computing (compile / long device chunk):
+                        # not the wedge signature (blocked RPC at ~0% CPU)
+                        if now - last_busy_log > 300:
+                            last_busy_log = now
+                            log(f"[supervise] heartbeat silent {silent:.0f}s "
+                                f"but child busy ({busy:.0%} CPU); not a "
+                                f"stall", flush=True)
+                        time.sleep(poll_s)
+                        continue
                     stalled = True
                     phase = "startup" if age is None else "step"
                     log(f"[supervise] {phase} stall: heartbeat silent "
-                        f"{silent:.0f}s > {limit:.0f}s; killing process "
-                        f"group {child.pid}", flush=True)
+                        f"{silent:.0f}s > {limit:.0f}s"
+                        + (f", child idle ({busy:.0%} CPU)"
+                           if busy is not None else "")
+                        + f"; killing process group {child.pid}", flush=True)
                     try:
                         os.killpg(child.pid, signal.SIGKILL)
                     except ProcessLookupError:

@@ -163,6 +163,22 @@ def test_supervise_gives_up_after_max_restarts(tmp_path):
     assert res.restarts == 1 and res.stalls == 2
 
 
+def test_supervise_spares_busy_child(tmp_path):
+    # a silent-but-computing child (compile / long device chunk burns ~100%
+    # host CPU) must NOT be killed — the wedge signature is idle-blocked.
+    # The child never beats yet busy-loops past the startup timeout.
+    argv = _child_script(tmp_path, """
+        import time
+        t0 = time.time()
+        while time.time() - t0 < 6:
+            sum(i * i for i in range(10000))
+    """)
+    res = supervise(argv, str(tmp_path / "hb"), stall_timeout_s=0.5,
+                    startup_timeout_s=3.0, poll_s=0.2, max_restarts=0,
+                    probe_on_stall=False, log=lambda *a, **k: None)
+    assert res.returncode == 0 and res.stalls == 0
+
+
 def test_supervise_forwards_sigterm_to_child_group(tmp_path):
     # an outer `timeout`/TERM on the supervisor must not orphan the child
     # (it lives in its own process group for stall kills)
