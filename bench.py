@@ -327,12 +327,50 @@ def run_with_retries(phase: str, tiny: bool, spawn=_spawn_phase,
     return last
 
 
+def _preflight() -> dict | None:
+    """Fail fast on a wedged backend: one subprocess-isolated probe (plus
+    one retry for transients) before committing to phase runs.  A wedge
+    (every dispatch hangs forever, observed for 5+ h) would otherwise burn
+    the full 2 h bench budget in 45-min phase timeouts; the probe bounds
+    that to ~4 min with an explicit record.  Returns None when healthy,
+    else the failing probe dict.  BENCH_NO_PREFLIGHT=1 skips."""
+    if os.environ.get("BENCH_NO_PREFLIGHT"):
+        return None
+    from prdisagg_tpu.utils.watchdog import probe_backend
+
+    res = probe_backend(timeout_s=120)
+    if res["ok"]:
+        return None
+    print(f"# bench: preflight probe unhealthy ({res['detail']}); "
+          f"retrying in 60s", file=sys.stderr)
+    time.sleep(60)
+    res = probe_backend(timeout_s=120)
+    return None if res["ok"] else res
+
+
 def orchestrate(tiny: bool = False, spawn=_spawn_phase) -> tuple[dict, int]:
     """Assemble the one-line JSON from per-phase subprocess runs.
 
     Returns (report, exit_code).  exit_code is non-zero only when the
     headline could not be measured at all.
     """
+    # hermetic test runs inject a fake spawn and must not dial the backend
+    probe_fail = _preflight() if spawn is _spawn_phase else None
+    if probe_fail is not None:
+        report = {
+            "metric": "fused_wgangp_train_steps_per_sec_ndomain16_batch32",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+            "extras": {
+                "backend_unhealthy_at_preflight": probe_fail["detail"],
+                "preflight": "wedge signature: subprocess probe timed out"
+                             if probe_fail["detail"] == "timeout"
+                             else "probe failed",
+            },
+        }
+        return report, 1
+
     deadline = time.monotonic() + GLOBAL_BUDGET_S
     results = {ph: run_with_retries(ph, tiny, spawn, deadline)
                for ph in PHASES}

@@ -108,6 +108,9 @@ def test_forced_fault_end_to_end_subprocess():
     env = dict(os.environ)
     env["BENCH_FORCE_FAULT"] = "bf16:1"
     env["JAX_PLATFORMS"] = "cpu"
+    # this test targets the retry path; the preflight probe (tested
+    # separately) can flake on a contended 1-core host and mask it
+    env["BENCH_NO_PREFLIGHT"] = "1"
     env.pop("BENCH_ATTEMPT", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--tiny"],
@@ -158,3 +161,51 @@ def test_global_budget_bounds_wall_clock(monkeypatch):
     # first phase consumed the budget; later phases were skipped up-front
     assert "budget exhausted" in report["extras"]["f32_error"]
     assert "budget exhausted" in report["extras"]["scen_error"]
+
+
+def test_preflight_healthy_returns_none(monkeypatch):
+    import prdisagg_tpu.utils.watchdog as wd
+
+    monkeypatch.setattr(
+        wd, "probe_backend",
+        lambda timeout_s=90: {"ok": True, "latency_s": 0.1, "detail": "ok"})
+    assert bench._preflight() is None
+
+
+def test_preflight_wedge_fails_fast(monkeypatch):
+    """A wedged backend (probe timeout twice) must short-circuit the bench
+    with an explicit record instead of burning phase timeouts."""
+    import prdisagg_tpu.utils.watchdog as wd
+
+    calls = {"n": 0}
+
+    def dead_probe(timeout_s=90):
+        calls["n"] += 1
+        return {"ok": False, "latency_s": None, "detail": "timeout"}
+
+    monkeypatch.setattr(wd, "probe_backend", dead_probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    res = bench._preflight()
+    assert res is not None and res["detail"] == "timeout"
+    assert calls["n"] == 2  # one transient retry, then verdict
+
+
+def test_preflight_skipped_for_injected_spawn():
+    """Hermetic orchestrate runs (tests) must not dial the backend: the
+    preflight only guards the real _spawn_phase path, so this must pass
+    with no probe_backend monkeypatch and no real backend."""
+    spawn = _fake_spawn({
+        "bf16": [OK_BF16], "f32": [OK_F32], "scen": [OK_SCEN]})
+    report, rc = bench.orchestrate(spawn=spawn)
+    assert rc == 0
+
+
+def test_preflight_env_disable(monkeypatch):
+    monkeypatch.setenv("BENCH_NO_PREFLIGHT", "1")
+    import prdisagg_tpu.utils.watchdog as wd
+
+    def boom(timeout_s=90):
+        raise AssertionError("probe must not run when disabled")
+
+    monkeypatch.setattr(wd, "probe_backend", boom)
+    assert bench._preflight() is None
