@@ -374,12 +374,29 @@ def cmd_download(args):
 def cmd_doctor(args):
     """Backend health check: one tiny device computation in a subprocess
     with a hard timeout, so a wedged backend cannot hang this command.
-    rc 0 = healthy, 1 = unhealthy (the wedge signature is detail='timeout')."""
+    rc 0 = healthy, 1 = unhealthy (the wedge signature is detail='timeout').
+
+    --wait S polls until the backend answers or S seconds elapse —
+    the shell building block for recovery pipelines:
+    `prdisagg_tpu doctor --wait 21600 && python bench.py`."""
     import json
+    import time
 
     from prdisagg_tpu.utils.watchdog import probe_backend
 
-    res = probe_backend(args.platform, timeout_s=args.timeout)
+    t0 = time.time()
+    while True:
+        res = probe_backend(args.platform, timeout_s=args.timeout)
+        if res["ok"] or args.wait is None:
+            break
+        waited = time.time() - t0
+        if waited + args.wait_interval > args.wait:
+            res["waited_s"] = round(waited, 1)
+            break
+        print(f"# unhealthy ({res['detail']}); waited {waited:.0f}s of "
+              f"{args.wait:.0f}s, retry in {args.wait_interval:.0f}s",
+              flush=True)
+        time.sleep(args.wait_interval)
     res["platform"] = args.platform or os.environ.get(
         "JAX_PLATFORMS", "(default)")
     print(json.dumps(res, indent=2))
@@ -579,6 +596,10 @@ def build_parser():
     dr.add_argument("--platform", default=None,
                     help="JAX platform to probe (default: environment's)")
     dr.add_argument("--timeout", type=float, default=60.0)
+    dr.add_argument("--wait", type=float, default=None,
+                    help="keep probing up to this many seconds until the "
+                         "backend answers (rc 0 on recovery)")
+    dr.add_argument("--wait-interval", type=float, default=120.0)
     dr.set_defaults(fn=cmd_doctor)
 
     sv = sub.add_parser(

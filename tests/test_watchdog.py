@@ -272,3 +272,37 @@ def test_cli_doctor_cpu(capsys):
     assert e.value.code == 0
     out = capsys.readouterr().out
     assert '"ok": true' in out
+
+
+def test_cli_doctor_wait_until_recovery(capsys, monkeypatch):
+    # unhealthy twice, then healthy: --wait keeps polling and exits 0
+    import pytest
+
+    import prdisagg_tpu.cli as cli
+    import prdisagg_tpu.utils.watchdog as wd
+
+    seq = iter([{"ok": False, "latency_s": None, "detail": "timeout"},
+                {"ok": False, "latency_s": None, "detail": "timeout"},
+                {"ok": True, "latency_s": 0.1, "detail": "ok"}])
+    monkeypatch.setattr(wd, "probe_backend",
+                        lambda p, timeout_s=60: next(seq))
+    with pytest.raises(SystemExit) as e:
+        cli.main(["doctor", "--wait", "999", "--wait-interval", "0.01"])
+    assert e.value.code == 0
+    assert '"ok": true' in capsys.readouterr().out
+
+
+def test_cli_doctor_wait_budget_exhausted(capsys, monkeypatch):
+    import pytest
+
+    import prdisagg_tpu.cli as cli
+    import prdisagg_tpu.utils.watchdog as wd
+
+    monkeypatch.setattr(
+        wd, "probe_backend",
+        lambda p, timeout_s=60: {"ok": False, "latency_s": None,
+                                 "detail": "timeout"})
+    with pytest.raises(SystemExit) as e:
+        cli.main(["doctor", "--wait", "0.05", "--wait-interval", "0.02"])
+    assert e.value.code == 1
+    assert "waited_s" in capsys.readouterr().out
