@@ -179,13 +179,18 @@ def supervise(
     succeeds (a wedged backend would hang the restarted child identically —
     observed: killing the client never unwedges the server).
 
-    A heartbeat-silent child that is BUSY is not a stall: compiles and
-    long device chunks can legitimately go beat-less for tens of minutes,
-    but they burn host CPU (observed ~97%), while a wedged client blocks
-    in an RPC wait at ~0%.  A kill therefore also requires the child's
-    recent CPU utilisation to be below ``busy_cpu_fraction`` (measured
-    over the trailing stall window from /proc; direct child only — the
-    exec-chain keeps the pid).  Set 0.0 to kill on silence alone.
+    A heartbeat-silent child that is BUSY is not a stall: local compiles
+    and long device chunks can legitimately go beat-less for tens of
+    minutes, but they burn host CPU (observed ~97%), while a wedged client
+    blocks in an RPC wait at ~0%.  A kill therefore also requires the
+    child's recent CPU utilisation to be below ``busy_cpu_fraction``
+    (measured over the trailing stall window from /proc; direct child only
+    — the exec-chain keeps the pid).  Set 0.0 to kill on silence alone.
+    Caveat: REMOTE compiles (the tunneled TPU compiles server-side) also
+    block at ~0% and are indistinguishable from the wedge — size
+    ``stall_timeout_s`` above the largest expected mid-run remote compile
+    (small jit programs recompile in ~1-2 min; only the fused train step
+    is the ~26-min cold case, and it sits behind the startup grace).
 
     A clean child exit (rc == 0) ends supervision; a nonzero exit is
     returned as-is without restart (crashes are the caller's bug — only
