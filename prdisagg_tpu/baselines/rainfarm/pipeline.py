@@ -22,6 +22,7 @@ from prdisagg_tpu.baselines.rainfarm.core import (
 )
 from prdisagg_tpu.data.sampler import DeviceDataset
 from prdisagg_tpu.ops.stats import crps_ensemble
+from prdisagg_tpu.utils.watchdog import beat_if_enabled
 
 
 def calibrate(
@@ -143,8 +144,6 @@ def generate_and_plot(
     n_map = min(n_map_conditions, len(reals))
     key = jax.random.PRNGKey(seed + 1)
     for i in range(n_map):
-        from prdisagg_tpu.utils.watchdog import beat_if_enabled
-
         beat_if_enabled()  # liveness for `cli supervise`
         key, sub = jax.random.split(key)
         ens = np.asarray(jax.vmap(
@@ -211,8 +210,6 @@ def crps_rainfarm(
             d = jnp.concatenate([d, jnp.ones((chunk - c, *d.shape[1:]))])
             k = jnp.concatenate([k, k[-1:].repeat(chunk - c, axis=0)])
         outs.append(score(r, d, k)[:c])  # device arrays: no per-chunk sync
-        from prdisagg_tpu.utils.watchdog import beat_if_enabled
-
         beat_if_enabled()
     out = np.concatenate([np.asarray(o) for o in outs])
     if outfile:

@@ -419,9 +419,12 @@ def cmd_supervise(args):
         cmd = cmd[1:]
     if not cmd:
         raise SystemExit("supervise: no command given (use `-- cmd ...`)")
+    # per-invocation default: two concurrent supervised runs sharing one
+    # heartbeat file would cross-beat and mask each other's stalls
+    hb_path = args.heartbeat or f"/tmp/prdisagg_heartbeat.{os.getpid()}"
     res = supervise(
         cmd,
-        heartbeat_path=args.heartbeat,
+        heartbeat_path=hb_path,
         stall_timeout_s=args.stall_timeout,
         startup_timeout_s=args.startup_timeout,
         max_restarts=args.max_restarts,
@@ -605,9 +608,11 @@ def build_parser():
     sv = sub.add_parser(
         "supervise", help="run a training command under heartbeat "
         "supervision; kill + resume it if the backend wedges")
-    sv.add_argument("--heartbeat", default="/tmp/prdisagg_heartbeat",
+    sv.add_argument("--heartbeat", default=None,
                     help="liveness file (exported as PRDISAGG_HEARTBEAT; "
-                         "the Trainer beats it every fused-step chunk)")
+                         "the Trainer beats it every fused-step chunk). "
+                         "Default: a per-invocation /tmp path — concurrent "
+                         "supervised runs must not share one file")
     sv.add_argument("--stall-timeout", type=float, default=900.0,
                     help="seconds of heartbeat silence before the child "
                          "is declared wedged and killed")

@@ -21,6 +21,7 @@ import numpy as np
 
 from prdisagg_tpu.api.pretrained import PretrainedGenerator
 from prdisagg_tpu.ops.stats import crps_ensemble
+from prdisagg_tpu.utils.watchdog import beat_if_enabled
 
 from functools import partial
 
@@ -114,8 +115,6 @@ def crps_gan(
             dsums_c = dsums[i0:i0 + sample_chunk]
         key, rows = score(generator.params, reals_c, dsums_c, key)
         out.append(rows[:m])  # device arrays: no host sync inside the loop
-        from prdisagg_tpu.utils.watchdog import beat_if_enabled
-
         beat_if_enabled()  # host-loop liveness for `cli supervise`
     return np.concatenate([np.asarray(r) for r in out])
 
@@ -150,8 +149,6 @@ def crps_random_baseline(
         if c < chunk:  # pad tail to reuse the compiled shape
             r = jnp.concatenate([r, jnp.ones((chunk - c, *r.shape[1:]))])
         outs.append(score(r, ens)[:c])  # device arrays, no per-chunk sync
-        from prdisagg_tpu.utils.watchdog import beat_if_enabled
-
         beat_if_enabled()
     return np.concatenate([np.asarray(o) for o in outs])
 

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from prdisagg_tpu.utils.watchdog import beat_if_enabled
+
 
 def ecdf(data: np.ndarray):
     """Empirical CDF, reference semantics (generate_and_evaluate.py:431-435)."""
@@ -210,7 +212,5 @@ def pairwise_lsd_offdiag(spectra_a: np.ndarray, spectra_b: np.ndarray,
         out.append(blk[keep])
         # each block is a confirmed device->host fetch: a natural liveness
         # beat for `cli supervise` (full populations run ~28 min on-chip)
-        from prdisagg_tpu.utils.watchdog import beat_if_enabled
-
         beat_if_enabled()
     return np.concatenate(out)

@@ -44,6 +44,12 @@ if p:
     # sitecustomize may pre-import jax with another platform latched; the
     # config update is what actually wins after import
     jax.config.update("jax_platforms", p)
+# remote compiles through the tunnel take 30s-10min cold: without the
+# persistent cache, a healthy-but-cold backend would time the probe out
+# and read as the wedge signature (false positive) on every attempt
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/prdisagg_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 t0 = time.perf_counter()
 x = jax.device_put(np.ones(8, np.float32))
@@ -240,16 +246,19 @@ def supervise(
                 if rc is not None:
                     break
                 now = time.time()
-                cpu = _cpu_seconds(child.pid)
-                if cpu is not None:
-                    cpu_samples.append((now, cpu))
-                    # keep roughly one stall window of history
-                    horizon = now - max(stall_timeout_s, startup_timeout_s)
-                    while len(cpu_samples) > 2 and cpu_samples[1][0] < horizon:
-                        cpu_samples.pop(0)
                 age = hb.age_s()
                 silent = (now - t_start if age is None else age)
                 limit = startup_timeout_s if age is None else stall_timeout_s
+                cpu = _cpu_seconds(child.pid)
+                if cpu is not None:
+                    cpu_samples.append((now, cpu))
+                    # keep one APPLICABLE window of history: averaging over
+                    # the (4x larger) startup window after beats began would
+                    # let pre-wedge CPU mask a wedge for multiples of the
+                    # stall timeout
+                    horizon = now - limit
+                    while len(cpu_samples) > 2 and cpu_samples[1][0] < horizon:
+                        cpu_samples.pop(0)
                 if silent > limit:
                     busy = None
                     if busy_cpu_fraction > 0 and len(cpu_samples) >= 2:
@@ -295,7 +304,6 @@ def supervise(
             log(f"[supervise] giving up: {stalls} stall(s), "
                 f"max_restarts={max_restarts} exhausted", flush=True)
             return SuperviseResult(-1, restarts, stalls, time.time() - t_all)
-        restarts += 1
 
         if probe_on_stall:
             t_probe = time.time()
@@ -310,8 +318,11 @@ def supervise(
                     log(f"[supervise] backend still down after "
                         f"{waited / 3600:.1f}h of probes; giving up",
                         flush=True)
+                    # restarts counts RELAUNCHES that actually happened —
+                    # this exit never relaunched after the stall kill
                     return SuperviseResult(-1, restarts, stalls,
                                            time.time() - t_all)
                 log(f"[supervise] backend unhealthy ({r['detail']}); "
                     f"retry in {probe_interval_s:.0f}s", flush=True)
                 time.sleep(probe_interval_s)
+        restarts += 1

@@ -154,6 +154,18 @@ def main():
                              "plain_data")}
     stored_cfg = cache.get("config")
     if stored_cfg is not None and stored_cfg.get("fp") != fingerprint:
+        # training artifacts (Orbax state, gen_*.h5 exports) in this
+        # workdir belong to the OLD config: resuming a scaled model from a
+        # flagship checkpoint is a shape-mismatch crash, and gen_* globs
+        # would silently publish stale-architecture results under the new
+        # fingerprint.  Refuse rather than guess.
+        stale = os.path.join(args.workdir, "trained_models")
+        if os.path.isdir(stale) and os.listdir(stale):
+            raise SystemExit(
+                f"protocol config changed (was {stored_cfg.get('fp')}, "
+                f"now {fingerprint}) but {stale} holds the old config's "
+                f"training artifacts — use a fresh --workdir or delete "
+                f"them first")
         print("[resume] protocol config changed; clearing stage cache",
               flush=True)
         cache.clear()
