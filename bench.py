@@ -47,6 +47,9 @@ PEAK_TFLOPS_BF16 = {"TPU v5": 197.0, "TPU v4": 275.0, "TPU v6": 918.0}
 PEAK_TFLOPS_DEFAULT = 197.0
 
 PHASES = ("bf16", "f32", "scen")
+# "flops" is an on-demand fallback phase (CPU lowering of the same program),
+# spawned only when the winning train phase could not count FLOPs on-device
+ALL_PHASES = PHASES + ("flops",)
 MAX_ATTEMPTS = 3
 PHASE_TIMEOUT_S = 2700  # cold-cache remote compiles through the tunnel can
 # take ~25 min (measured round 3); cached reruns are seconds
@@ -121,8 +124,9 @@ def _setup_jax():
 # measurement phases (each runs inside its own subprocess)
 # ---------------------------------------------------------------------------
 
-def _measure_train(compute_dtype: str, tiny: bool) -> dict:
-    jax = _setup_jax()
+def _flagship_step(compute_dtype: str, tiny: bool):
+    """Build the flagship fused step exactly as the train phases measure it;
+    returns (step, state, ds, k, batch_size)."""
     from prdisagg_tpu.core.config import ModelConfig, TrainConfig
     from prdisagg_tpu.data.sampler import DeviceDataset
     from prdisagg_tpu.data.synthetic import make_synthetic_dataset
@@ -148,17 +152,41 @@ def _measure_train(compute_dtype: str, tiny: bool) -> dict:
     k = 2 if tiny else 10
     step = make_train_step(gen, critic, model_cfg, train_cfg, batch_size,
                            steps_per_call=k)
-    # FLOP accounting for MFU: client-side HLO cost analysis of the traced
-    # program (k fused steps) — no device round-trip, and identical for
-    # bf16/f32 since the op graph is the same (VERDICT round-3 weak #2)
+    return step, state, ds, k, batch_size
+
+
+def _flops_of(step, state, ds, k) -> float:
+    """FLOPs per fused step via client-side HLO cost analysis of the traced
+    program (k fused steps) — no device round-trip, and identical for
+    bf16/f32 since the op graph is the same (VERDICT round-3 weak #2)."""
+    cost = step.lower(state, ds).cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost["flops"]) / k
+
+
+def _measure_flops(tiny: bool) -> dict:
+    """FLOPs/step of the flagship step, counted on a CPU lowering.
+
+    The tunneled TPU plugin's PJRT client does not implement
+    `cost_analysis` (observed round 4: the train phases' in-process attempt
+    failed silently and MFU vanished from the report), but the op-graph
+    FLOP count is backend-independent — lower the SAME program for CPU and
+    count there."""
+    jax = _setup_jax()
+    jax.config.update("jax_platforms", "cpu")  # sitecustomize latches axon
+    step, state, ds, k, _ = _flagship_step("bfloat16", tiny)
+    return {"flops_per_step": round(_flops_of(step, state, ds, k))}
+
+
+def _measure_train(compute_dtype: str, tiny: bool) -> dict:
+    jax = _setup_jax()
+    step, state, ds, k, batch_size = _flagship_step(compute_dtype, tiny)
     flops_per_step = None
     try:
-        cost = step.lower(state, ds).cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_step = float(cost["flops"]) / k
+        flops_per_step = _flops_of(step, state, ds, k)
     except Exception:
-        pass
+        pass  # axon lacks cost_analysis — orchestrator falls back to CPU
     state, metrics = step(state, ds)       # warmup / compile
     if bool(metrics["nonfinite"]):         # host fetch = hard sync
         raise NonFiniteLoss(f"non-finite loss in {compute_dtype} warmup")
@@ -235,6 +263,8 @@ def run_phase(phase: str, tiny: bool) -> dict:
         return _measure_train(dtype, tiny)
     if phase == "scen":
         return _measure_scenarios(tiny)
+    if phase == "flops":
+        return _measure_flops(tiny)
     raise ValueError(f"unknown phase {phase!r}")
 
 
@@ -414,14 +444,25 @@ def orchestrate(tiny: bool = False, spawn=_spawn_phase) -> tuple[dict, int]:
         # from the measured phase (4 in --tiny mode, 32 in the benchmark)
         bsz = headline.get("batch_size", 32)
         extras["samples_per_sec"] = round(value * bsz * 6, 1)
-        if "flops_per_step" in headline:
-            extras["flops_per_step"] = headline["flops_per_step"]
-            extras["tflops_per_sec"] = headline["tflops_per_sec"]
+        flops = headline.get("flops_per_step")
+        if flops is None:
+            # the tunneled TPU plugin's PJRT client lacks cost_analysis;
+            # the op-graph FLOP count is backend-independent, so lower the
+            # SAME program for CPU in a fresh subprocess and count there
+            fl = run_with_retries("flops", tiny, spawn, deadline)
+            if fl.get("ok") and "flops_per_step" in fl:
+                flops = fl["flops_per_step"]
+                extras["flops_source"] = "cpu_lowering"
+            else:
+                extras["flops_error"] = fl.get("error", "")[:200]
+        if flops is not None:
+            extras["flops_per_step"] = flops
+            extras["tflops_per_sec"] = round(value * flops / 1e12, 2)
             peak = next((v for p, v in PEAK_TFLOPS_BF16.items()
                          if p in extras.get("device", "")),
                         PEAK_TFLOPS_DEFAULT)
             extras["mfu_vs_bf16_peak"] = round(
-                headline["tflops_per_sec"] / peak, 4)
+                extras["tflops_per_sec"] / peak, 4)
             extras["mfu_peak_tflops_assumed"] = peak
 
     report = {
@@ -436,7 +477,7 @@ def orchestrate(tiny: bool = False, spawn=_spawn_phase) -> tuple[dict, int]:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=PHASES, default=None,
+    ap.add_argument("--phase", choices=ALL_PHASES, default=None,
                     help="(internal) run one measurement phase in-process")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model for orchestration tests — NOT a benchmark")

@@ -35,6 +35,7 @@ def _fake_spawn(script):
 OK_BF16 = {"ok": True, "value": 96.0, "device": "cpu"}
 OK_F32 = {"ok": True, "value": 75.0, "device": "cpu"}
 OK_SCEN = {"ok": True, "value": 15000.0}
+OK_FLOPS = {"ok": True, "flops_per_step": 5_000_000_000}
 BACKEND_FAIL = {"ok": False, "kind": "backend",
                 "error": "JaxRuntimeError: FAILED_PRECONDITION: TPU backend error"}
 NONFINITE = {"ok": False, "kind": "nonfinite", "error": "non-finite loss"}
@@ -45,6 +46,7 @@ def test_backend_fault_retried_and_recovered():
         "bf16": [BACKEND_FAIL, BACKEND_FAIL, OK_BF16],
         "f32": [OK_F32],
         "scen": [OK_SCEN],
+        "flops": [OK_FLOPS],
     })
     report, rc = bench.orchestrate(spawn=spawn)
     assert rc == 0
@@ -62,6 +64,7 @@ def test_nonfinite_not_retried():
         "bf16": [NONFINITE, OK_BF16],  # would succeed if (wrongly) retried
         "f32": [OK_F32],
         "scen": [OK_SCEN],
+        "flops": [OK_FLOPS],
     })
     report, rc = bench.orchestrate(spawn=spawn)
     # nonfinite is a real result: bf16 reported failed, headline falls back
@@ -77,6 +80,7 @@ def test_secondary_failure_still_emits_headline():
         "bf16": [OK_BF16],
         "f32": [BACKEND_FAIL],
         "scen": [BACKEND_FAIL],
+        "flops": [OK_FLOPS],
     })
     report, rc = bench.orchestrate(spawn=spawn)
     assert rc == 0
@@ -137,6 +141,7 @@ def test_hang_timeouts_retry_once_not_thrice():
         "bf16": [TIMEOUT_FAIL],
         "f32": [OK_F32],
         "scen": [OK_SCEN],
+        "flops": [OK_FLOPS],
     })
     report, rc = bench.orchestrate(spawn=spawn)
     assert [c for c in spawn.calls if c[0] == "bf16"] == [
@@ -195,9 +200,54 @@ def test_preflight_skipped_for_injected_spawn():
     preflight only guards the real _spawn_phase path, so this must pass
     with no probe_backend monkeypatch and no real backend."""
     spawn = _fake_spawn({
-        "bf16": [OK_BF16], "f32": [OK_F32], "scen": [OK_SCEN]})
+        "bf16": [OK_BF16], "f32": [OK_F32], "scen": [OK_SCEN],
+        "flops": [OK_FLOPS]})
     report, rc = bench.orchestrate(spawn=spawn)
     assert rc == 0
+
+
+def test_flops_fallback_phase_feeds_mfu():
+    """When the winning train phase lacks FLOPs (the tunneled TPU PJRT
+    client has no cost_analysis), the orchestrator must spawn the CPU-
+    lowering flops phase and derive tflops/MFU from the headline rate."""
+    spawn = _fake_spawn({
+        "bf16": [OK_BF16], "f32": [OK_F32], "scen": [OK_SCEN],
+        "flops": [OK_FLOPS]})
+    report, rc = bench.orchestrate(spawn=spawn)
+    assert rc == 0
+    ex = report["extras"]
+    assert ex["flops_source"] == "cpu_lowering"
+    assert ex["flops_per_step"] == OK_FLOPS["flops_per_step"]
+    assert ex["tflops_per_sec"] == round(96.0 * 5e9 / 1e12, 2)
+    assert ex["mfu_vs_bf16_peak"] == round(
+        ex["tflops_per_sec"] / bench.PEAK_TFLOPS_DEFAULT, 4)
+    assert [c for c in spawn.calls if c[0] == "flops"] == [("flops", 0)]
+
+
+def test_device_counted_flops_skips_fallback():
+    """A train phase that DID count FLOPs on-device must not spawn the
+    fallback phase."""
+    bf16 = dict(OK_BF16, flops_per_step=4_000_000_000,
+                tflops_per_sec=0.38)
+    spawn = _fake_spawn({
+        "bf16": [bf16], "f32": [OK_F32], "scen": [OK_SCEN]})
+    report, rc = bench.orchestrate(spawn=spawn)
+    assert rc == 0
+    assert report["extras"]["flops_per_step"] == 4_000_000_000
+    assert "flops_source" not in report["extras"]
+    assert not [c for c in spawn.calls if c[0] == "flops"]
+
+
+def test_flops_fallback_failure_is_soft():
+    """MFU is best-effort: a failing flops phase must not fail the bench."""
+    spawn = _fake_spawn({
+        "bf16": [OK_BF16], "f32": [OK_F32], "scen": [OK_SCEN],
+        "flops": [{"ok": False, "kind": "other", "error": "no cost model"}]})
+    report, rc = bench.orchestrate(spawn=spawn)
+    assert rc == 0
+    assert report["value"] == 96.0
+    assert "flops_error" in report["extras"]
+    assert "tflops_per_sec" not in report["extras"]
 
 
 def test_preflight_env_disable(monkeypatch):
