@@ -60,4 +60,16 @@ if [ ! -f artifacts/.queue_largedomain_done ]; then
     timeout 10800 python scripts/large_domain_tpu.py && touch artifacts/.queue_largedomain_done
 fi
 
+# 7. EMA arm of the regime protocol (VERDICT r3 weak #1: quality wander).
+#    Same data/scale as stage 4; TrainConfig.ema_decay=0.999 (Karras et al.
+#    practice) adds gen_ema_* exports that compete in epoch selection —
+#    measures whether the EMA curve is flatter and whether an EMA pick
+#    beats the raw pick on the full battery.
+if [ ! -f artifacts/paper_protocol_regime_ema/paper_protocol_summary.json ]; then
+    LOG "stage regime-battery-ema"
+    python -m prdisagg_tpu.cli supervise --stall-timeout 900 --max-restarts 4 -- \
+        python scripts/paper_protocol.py \
+            --workdir artifacts/paper_protocol_regime_ema --ema-decay 0.999
+fi
+
 LOG "queue drained"
