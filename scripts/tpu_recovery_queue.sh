@@ -27,6 +27,14 @@ done
 python -m prdisagg_tpu.cli doctor --wait 36000 || { LOG "backend never recovered"; exit 1; }
 LOG "backend healthy — draining queue"
 
+# Re-gate on health before every TPU stage: a wedge that outlasts one
+# stage's supervisor must not cascade into the next stage hanging until
+# its timeout (observed: LSD-stage wedge 18:xx; variants would then burn
+# 2 h against a dead backend).  Polls up to 10 h, exits nonzero so a
+# relaunch retries from the same marker.
+GATE() { python -m prdisagg_tpu.cli doctor --wait 36000 \
+             || { LOG "backend down before $1; aborting queue"; exit 1; }; }
+
 # 2. Bench (warms the persistent compile cache for the driver's BENCH_r04 run).
 if [ ! -f artifacts/.queue_bench_done ]; then
     LOG "stage bench"
@@ -37,12 +45,14 @@ fi
 
 # 3. Architecture-restructure step-rate experiment (VERDICT round-3 item 4).
 if [ ! -f artifacts/exp_arch_restructure.txt ]; then
+    GATE "arch-experiment"
     LOG "stage arch-experiment"
     timeout 3600 python scripts/exp_arch_restructure.py
 fi
 
 # 4. Flagship regime paper protocol (VERDICT item 1 / run 3) under supervision.
 if [ ! -f artifacts/paper_protocol_regime/paper_protocol_summary.json ]; then
+    GATE "regime-battery"
     LOG "stage regime-battery"
     python -m prdisagg_tpu.cli supervise --stall-timeout 900 --max-restarts 4 -- \
         python scripts/paper_protocol.py --workdir artifacts/paper_protocol_regime
@@ -50,12 +60,14 @@ fi
 
 # 5. doy/lon variants at flagship width on-chip (VERDICT item 5).
 if [ ! -f artifacts/.queue_variants_done ]; then
+    GATE "variants"
     LOG "stage variants"
     timeout 7200 python scripts/variants_tpu.py && touch artifacts/.queue_variants_done
 fi
 
 # 6. Large-domain abbreviated end-to-end protocol (VERDICT item 7).
 if [ ! -f artifacts/.queue_largedomain_done ]; then
+    GATE "large-domain"
     LOG "stage large-domain"
     timeout 10800 python scripts/large_domain_tpu.py && touch artifacts/.queue_largedomain_done
 fi
@@ -66,6 +78,7 @@ fi
 #    measures whether the EMA curve is flatter and whether an EMA pick
 #    beats the raw pick on the full battery.
 if [ ! -f artifacts/paper_protocol_regime_ema/paper_protocol_summary.json ]; then
+    GATE "regime-battery-ema"
     LOG "stage regime-battery-ema"
     python -m prdisagg_tpu.cli supervise --stall-timeout 900 --max-restarts 4 -- \
         python scripts/paper_protocol.py \
