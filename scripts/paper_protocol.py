@@ -223,13 +223,29 @@ def main():
         # A rerun in the same workdir (e.g. after a backend wedge killed a
         # prior attempt) resumes from the forced Orbax checkpoint instead of
         # retraining epochs that already completed.
+        resumed_epoch = 0
         if tr.maybe_resume():
+            resumed_epoch = tr.epoch
             print(f"[train] resumed at epoch {tr.epoch}", flush=True)
         tr.fit(progress=True)
+        # Accounting must survive relaunches: a resume pass that finds
+        # training complete must not overwrite the stage with its own
+        # ~1-min wall time (run 3's summary briefly claimed 1534 steps/s
+        # that way).  Seconds accumulate across launches that reached this
+        # mark; steps_per_sec is kept from the last launch that actually
+        # trained epochs.
+        elapsed = time.perf_counter() - t0
         spe = max(1, n_train_patches // 32)
-        mark("train", t0, epochs=args.epochs, steps=args.epochs * spe,
-             steps_per_sec=round(args.epochs * spe /
-                                 (time.perf_counter() - t0), 1))
+        prior = cache.get("train") or {}
+        epochs_run = args.epochs - resumed_epoch
+        payload = cache.mark(
+            "train", epochs=args.epochs, steps=args.epochs * spe,
+            seconds_cumulative=round(
+                prior.get("seconds_cumulative", 0.0) + elapsed, 1),
+            steps_per_sec=(round(epochs_run * spe / elapsed, 1)
+                           if epochs_run > 0
+                           else prior.get("steps_per_sec", 0.0)))
+        mark("train", t0, **payload)
 
     # ---- stage 3: epoch selection on the HELD-OUT split --------------------
     # The reference picks its eval epoch by visual inspection of per-epoch
