@@ -48,13 +48,19 @@ class PretrainedGenerator:
 
     def __init__(self, params, cfg: Optional[ModelConfig] = None,
                  norm_scale: float = NORM_SCALE, seed: int = 0,
-                 max_batch: int = 8000):
+                 max_batch: Optional[int] = None):
         """`max_batch` caps the per-forward device batch: larger requests
         are served in chunks (batch 8000 is the single-chip HBM ceiling at
         the flagship architecture and also its throughput peak, ~29k
         scenarios/s — docs/PERF.md; the reference relies on Keras
         `predict`'s internal batching the same way,
         raindisagg_gan_pretrained.py:60).
+
+        The default (None) scales that measured 16x16 ceiling with the
+        domain's activation footprint (~ndomain^2) plus 2.5x headroom:
+        a 64x64 f32 forward at batch 500 — the naive scaled equivalent —
+        AOT-OOMed the v5e (24.2G vs 15.75G HBM, round-4 large-domain run),
+        so larger domains get max_batch 8000*(16/nd)^2/2.5 (200 at 64).
 
         Precision: inference defaults to float32 — the reference's predict
         path is implicit f32 (raindisagg_gan_pretrained.py:60) and published
@@ -68,6 +74,10 @@ class PretrainedGenerator:
         # docs/PERF.md)
         self.params = jax.device_put(params)
         self.norm_scale = norm_scale
+        if max_batch is None:
+            nd = self.cfg.ndomain
+            max_batch = 8000 if nd <= 16 else \
+                max(32, int(8000 * (16 / nd) ** 2 / 2.5))
         self.max_batch = max_batch
         self._gen = Generator(self.cfg)
         self._predict = lambda p, l, c: _apply_generator(self._gen, p, l, c)

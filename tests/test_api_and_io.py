@@ -387,6 +387,22 @@ def test_generate_scenarios_chunked_matches_single_forward():
     np.testing.assert_allclose(scen_chunk.sum(axis=1), 10.0, rtol=1e-4)
 
 
+def test_default_max_batch_scales_with_domain():
+    """The default per-forward cap is the measured 8000 ceiling ONLY at the
+    16x16 flagship; larger domains scale it by the ~ndomain^2 activation
+    footprint with 2.5x headroom — a 64x64 f32 forward at the naively
+    scaled batch 500 AOT-OOMed the v5e (round 4, 24.2G vs 15.75G HBM)."""
+    import dataclasses
+
+    assert PretrainedGenerator({}, TINY).max_batch == 8000
+    big = dataclasses.replace(TINY, ndomain=64)
+    assert PretrainedGenerator({}, big).max_batch == 200
+    assert PretrainedGenerator({}, dataclasses.replace(TINY, ndomain=32)) \
+        .max_batch == 800
+    # an explicit cap always wins
+    assert PretrainedGenerator({}, big, max_batch=77).max_batch == 77
+
+
 def test_generate_scenarios_batch_matches_per_request():
     """K conditions flattened into one (K*n)-batch forward must reproduce
     the per-request results exactly (same latents) — the multi-request
