@@ -16,12 +16,15 @@ LOG() { echo "[queue $(date +%H:%M:%S)] $*"; }
 
 # 0. Wait for a quiet host: TPU step-rate numbers are dispatch-bound and a
 #    concurrent pytest run on this 1-core box skews them 5-30% (CLAUDE.md).
-for i in $(seq 1 120); do
-    load=$(cut -d' ' -f1 /proc/loadavg)
-    awk "BEGIN{exit !($load < 0.8)}" && break
-    LOG "host busy (load $load), waiting"
-    sleep 60
-done
+WAIT_QUIET() {
+    for i in $(seq 1 120); do
+        load=$(cut -d' ' -f1 /proc/loadavg)
+        awk "BEGIN{exit !($load < 0.8)}" && return 0
+        LOG "host busy (load $load), waiting"
+        sleep 60
+    done
+}
+WAIT_QUIET
 
 # 1. Gate on backend health (poll up to 10 h).
 python -m prdisagg_tpu.cli doctor --wait 36000 || { LOG "backend never recovered"; exit 1; }
@@ -47,7 +50,8 @@ fi
 if [ ! -f artifacts/exp_arch_restructure.txt ]; then
     GATE "arch-experiment"
     LOG "stage arch-experiment"
-    timeout 3600 python scripts/exp_arch_restructure.py
+    timeout 3600 python scripts/exp_arch_restructure.py \
+        || LOG "stage arch-experiment FAILED (rc $?)"
 fi
 
 # 4. Flagship regime paper protocol (VERDICT item 1 / run 3) under supervision.
@@ -62,41 +66,51 @@ fi
 if [ ! -f artifacts/.queue_variants_done ]; then
     GATE "variants"
     LOG "stage variants"
-    timeout 7200 python scripts/variants_tpu.py && touch artifacts/.queue_variants_done
+    timeout 7200 python scripts/variants_tpu.py \
+        && touch artifacts/.queue_variants_done \
+        || LOG "stage variants FAILED (rc $?)"
 fi
 
 # 6. Large-domain abbreviated end-to-end protocol (VERDICT item 7).
 if [ ! -f artifacts/.queue_largedomain_done ]; then
     GATE "large-domain"
     LOG "stage large-domain"
-    timeout 10800 python scripts/large_domain_tpu.py && touch artifacts/.queue_largedomain_done
+    timeout 10800 python scripts/large_domain_tpu.py \
+        && touch artifacts/.queue_largedomain_done \
+        || LOG "stage large-domain FAILED (rc $?)"
 fi
 
-# 7. EMA arm of the regime protocol (VERDICT r3 weak #1: quality wander).
-#    Same data/scale as stage 4; TrainConfig.ema_decay=0.999 (Karras et al.
-#    practice) adds gen_ema_* exports that compete in epoch selection —
-#    measures whether the EMA curve is flatter and whether an EMA pick
-#    beats the raw pick on the full battery.
-if [ ! -f artifacts/paper_protocol_regime_ema/paper_protocol_summary.json ]; then
-    GATE "regime-battery-ema"
-    LOG "stage regime-battery-ema"
-    python -m prdisagg_tpu.cli supervise --stall-timeout 900 --max-restarts 4 -- \
-        python scripts/paper_protocol.py \
-            --workdir artifacts/paper_protocol_regime_ema --ema-decay 0.999
-fi
-
-# 8. Clean variant step-rate anchors on a QUIET host.  Stage 5's feasibility
+# 7. Clean variant step-rate anchors on a QUIET host.  Stage 5's feasibility
 #    run measured steady rates with only 312 steps/epoch (per-epoch export
 #    cadence dominates) and a concurrent CPU job in the doy window; this
 #    rerun uses 1200 days (~937 steps/epoch) and fresh workdirs so resume
 #    cannot void the anchor.  Rewrites artifacts/variants_tpu.txt (the
 #    stage-5 feasibility numbers are committed and recorded in PERF.md).
+#    Runs BEFORE the ~2.6 h EMA battery: with a late backend recovery the
+#    short high-value stages must not starve behind it.
 if [ ! -f artifacts/.queue_variants_anchor_done ]; then
     GATE "variants-anchor"
+    WAIT_QUIET
     LOG "stage variants-anchor"
     rm -rf artifacts/variant_doy artifacts/variant_lon
     timeout 7200 python scripts/variants_tpu.py 1200 5 \
-        && touch artifacts/.queue_variants_anchor_done
+        && touch artifacts/.queue_variants_anchor_done \
+        || LOG "stage variants-anchor FAILED (rc $?)"
+fi
+
+# 8. EMA arm of the regime protocol (VERDICT r3 weak #1: quality wander).
+#    Same data/scale as stage 4; TrainConfig.ema_decay=0.999 (Karras et al.
+#    practice) adds gen_ema_* exports that compete in epoch selection —
+#    measures whether the EMA curve is flatter and whether an EMA pick
+#    beats the raw pick on the full battery.  Longest stage, so it runs
+#    last; protocol_state.json makes partial progress durable.
+if [ ! -f artifacts/paper_protocol_regime_ema/paper_protocol_summary.json ]; then
+    GATE "regime-battery-ema"
+    LOG "stage regime-battery-ema"
+    python -m prdisagg_tpu.cli supervise --stall-timeout 900 --max-restarts 4 -- \
+        python scripts/paper_protocol.py \
+            --workdir artifacts/paper_protocol_regime_ema --ema-decay 0.999 \
+        || LOG "stage regime-battery-ema FAILED (rc $?)"
 fi
 
 LOG "queue drained"
