@@ -57,10 +57,13 @@ class PretrainedGenerator:
         raindisagg_gan_pretrained.py:60).
 
         The default (None) scales that measured 16x16 ceiling with the
-        domain's activation footprint (~ndomain^2) plus 2.5x headroom:
+        domain's activation footprint (~ndomain^2) plus 4x headroom:
         a 64x64 f32 forward at batch 500 — the naive scaled equivalent —
-        AOT-OOMed the v5e (24.2G vs 15.75G HBM, round-4 large-domain run),
-        so larger domains get max_batch 8000*(16/nd)^2/2.5 (200 at 64).
+        AOT-OOMed the v5e (24.2G of HLO temp vs 15.75G HBM, round-4
+        large-domain run: ~48 MB temp PER SAMPLE, worse than the ~nd^2
+        model), and batch 200 (2.5x headroom) still ResourceExhausted at
+        run time next to a resident training state, so larger domains get
+        max_batch 8000*(16/nd)^2/4 (125 at 64).
 
         Precision: inference defaults to float32 — the reference's predict
         path is implicit f32 (raindisagg_gan_pretrained.py:60) and published
@@ -77,7 +80,7 @@ class PretrainedGenerator:
         if max_batch is None:
             nd = self.cfg.ndomain
             max_batch = 8000 if nd <= 16 else \
-                max(32, int(8000 * (16 / nd) ** 2 / 2.5))
+                max(32, int(8000 * (16 / nd) ** 2 / 4))
         self.max_batch = max_batch
         self._gen = Generator(self.cfg)
         self._predict = lambda p, l, c: _apply_generator(self._gen, p, l, c)

@@ -95,7 +95,15 @@ def main():
          f"steady {steady:.2f} steps/s (bf16 default, excl. compile epoch)")
 
     # evaluate the epoch-8 EXPORT (the reference evaluates from the saved
-    # per-epoch weights, not the live model) with the eval preset
+    # per-epoch weights, not the live model) with the eval preset.
+    # Drop the trainer and the train dataset FIRST: at 64x64 the resident
+    # TrainState (~2.5 GB: the 206M-param dense + two Adam moments) plus the
+    # HBM train tensor left a batch-200 f32 eval forward ResourceExhausted
+    # on the v5e (round-4 queue log) — eval must own the chip's HBM.
+    import gc
+
+    del tr, ds
+    gc.collect()
     model_dir = os.path.join(workdir, "trained_models", exp.name)
     h5 = glob.glob(os.path.join(model_dir, f"gen_*_{epochs:04d}.h5"))[0]
     pg = PretrainedGenerator.from_keras_h5(h5, seed=354)

@@ -390,15 +390,17 @@ def test_generate_scenarios_chunked_matches_single_forward():
 def test_default_max_batch_scales_with_domain():
     """The default per-forward cap is the measured 8000 ceiling ONLY at the
     16x16 flagship; larger domains scale it by the ~ndomain^2 activation
-    footprint with 2.5x headroom — a 64x64 f32 forward at the naively
-    scaled batch 500 AOT-OOMed the v5e (round 4, 24.2G vs 15.75G HBM)."""
+    footprint with 4x headroom — a 64x64 f32 forward at the naively
+    scaled batch 500 AOT-OOMed the v5e (round 4, 24.2G vs 15.75G HBM:
+    ~48 MB HLO temp per sample), and 2.5x headroom (batch 200) still
+    ResourceExhausted at run time next to a resident training state."""
     import dataclasses
 
     assert PretrainedGenerator({}, TINY).max_batch == 8000
     big = dataclasses.replace(TINY, ndomain=64)
-    assert PretrainedGenerator({}, big).max_batch == 200
+    assert PretrainedGenerator({}, big).max_batch == 125
     assert PretrainedGenerator({}, dataclasses.replace(TINY, ndomain=32)) \
-        .max_batch == 800
+        .max_batch == 500
     # an explicit cap always wins
     assert PretrainedGenerator({}, big, max_batch=77).max_batch == 77
 
