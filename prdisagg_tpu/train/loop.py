@@ -233,6 +233,18 @@ class Trainer:
         k_max = max(1, min(self.exp.train.log_every_steps, spe))
         k_steps = next(k for k in range(k_max, 0, -1) if spe % k == 0)
         n_chunks = spe // k_steps
+        if k_steps * 4 <= k_max:
+            # e.g. prime spe: 1200 synthetic days gave spe=937 (prime), so
+            # K=1 and the tunneled TPU's ~40 ms dispatch+fetch floor capped
+            # training at 25 steps/s vs ~96 amortized (round-4 anchor run).
+            # Pick a sample count whose spe has a divisor near
+            # log_every_steps when the step rate matters.
+            print(
+                f"[trainer] WARNING: steps_per_epoch={spe} has no divisor "
+                f"near log_every_steps={self.exp.train.log_every_steps} "
+                f"(chunk={k_steps}); throughput will be dispatch-bound",
+                flush=True,
+            )
         steps_per_epoch = spe
 
         step_fn = make_train_step(

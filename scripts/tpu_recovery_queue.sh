@@ -83,9 +83,11 @@ fi
 # 7. Clean variant step-rate anchors on a QUIET host.  Stage 5's feasibility
 #    run measured steady rates with only 312 steps/epoch (per-epoch export
 #    cadence dominates) and a concurrent CPU job in the doy window; this
-#    rerun uses 1200 days (~937 steps/epoch) and fresh workdirs so resume
-#    cannot void the anchor.  Rewrites artifacts/variants_tpu.txt (the
-#    stage-5 feasibility numbers are committed and recorded in PERF.md).
+#    rerun uses 1280 days (32000 patches -> spe=1000, so the fused chunk
+#    is a full K=100 — 1200 days gave PRIME spe=937, K=1, and the ~40 ms
+#    dispatch+fetch floor capped it at 25 steps/s) and fresh workdirs so
+#    resume cannot void the anchor.  Rewrites artifacts/variants_tpu.txt
+#    (the stage-5 feasibility numbers are committed and in PERF.md).
 #    Runs BEFORE the ~2.6 h EMA battery: with a late backend recovery the
 #    short high-value stages must not starve behind it.
 if [ ! -f artifacts/.queue_variants_anchor_done ]; then
@@ -93,7 +95,7 @@ if [ ! -f artifacts/.queue_variants_anchor_done ]; then
     WAIT_QUIET
     LOG "stage variants-anchor"
     rm -rf artifacts/variant_doy artifacts/variant_lon
-    timeout 7200 python scripts/variants_tpu.py 1200 5 \
+    timeout 7200 python scripts/variants_tpu.py 1280 5 \
         && touch artifacts/.queue_variants_anchor_done \
         || LOG "stage variants-anchor FAILED (rc $?)"
 fi
