@@ -233,10 +233,13 @@ class Trainer:
         k_max = max(1, min(self.exp.train.log_every_steps, spe))
         k_steps = next(k for k in range(k_max, 0, -1) if spe % k == 0)
         n_chunks = spe // k_steps
-        if k_steps * 4 <= k_max:
+        if k_steps * 10 <= k_max:
             # e.g. prime spe: 1200 synthetic days gave spe=937 (prime), so
             # K=1 and the tunneled TPU's ~40 ms dispatch+fetch floor capped
             # training at 25 steps/s vs ~96 amortized (round-4 anchor run).
+            # K>=15 is measurably fine (spe=2265 -> K=15 sustains ~89
+            # steps/s at reference scale — async dispatch overlaps the
+            # fetch), so only warn an order of magnitude below the target.
             # Pick a sample count whose spe has a divisor near
             # log_every_steps when the step rate matters.
             print(
