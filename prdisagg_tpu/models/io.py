@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, Optional, Tuple
 
@@ -44,7 +45,13 @@ def _unflatten(flat: Dict[str, np.ndarray]):
 
 
 def save_params_npz(path: str, params) -> None:
-    np.savez(path, **_flatten(params))
+    # atomic: a supervisor SIGKILL mid-write must never leave a truncated
+    # archive that poisons every subsequent resume/load (same rationale as
+    # _write_keras_h5)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **_flatten(params))
+    os.replace(tmp, path)
 
 
 def load_params_npz(path: str):
@@ -293,7 +300,13 @@ def _write_keras_h5(path: str, params, pairs, top_layers,
     if "params" in params and isinstance(params["params"], dict):
         params = params["params"]
 
-    with h5py.File(path, "w") as f:
+    # Write to a sibling tmp file and os.replace into place: `cli supervise`
+    # SIGKILLs the process group on a stall, and a half-written gen_*.h5
+    # would crash PretrainedGenerator.from_keras_h5 on EVERY protocol
+    # relaunch (stage-3 globs all exports), turning one stall into a
+    # permanently stuck resume.  POSIX rename makes the export all-or-nothing.
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with h5py.File(tmp, "w") as f:
         f.attrs["keras_version"] = _KERAS_VERSION
         f.attrs["backend"] = b"tensorflow"
         if model_config is not None:
@@ -320,6 +333,7 @@ def _write_keras_h5(path: str, params, pairs, top_layers,
                     full, data=np.asarray(layer[wname], dtype=np.float32)
                 )
         seq.attrs["weight_names"] = np.array(weight_names, dtype="S")
+    os.replace(tmp, path)
 
 
 def save_keras_generator_h5(path: str, params, cfg: ModelConfig) -> None:

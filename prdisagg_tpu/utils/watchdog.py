@@ -210,37 +210,43 @@ def supervise(
     restarts = stalls = 0
     t_all = time.time()
 
-    while True:
-        # stale beats from a previous attempt must not mask a startup hang
-        try:
-            os.remove(heartbeat_path)
-        except OSError:
-            pass
-        t_start = time.time()
-        log(f"[supervise] launch (attempt {restarts + 1}): "
-            f"{' '.join(argv)}", flush=True)
-        child = subprocess.Popen(list(argv), env=env, start_new_session=True)
+    # The child lives in its own process group (required for stall kills to
+    # reap descendants), so an outer `timeout`/TERM on the supervisor would
+    # ORPHAN it — forward termination explicitly.  Handlers are installed
+    # ONCE, BEFORE the first launch: registering after Popen left a window
+    # where a TERM killed the supervisor with the default handler and the
+    # freshly-launched child kept running detached.
+    child = None
 
-        # The child lives in its own process group (required for stall
-        # kills to reap descendants), so an outer `timeout`/TERM on the
-        # supervisor would ORPHAN it — forward termination explicitly.
-        def _forward(sig, frame):
+    def _forward(sig, frame):
+        if child is not None:
             try:
                 os.killpg(child.pid, signal.SIGKILL)
             except ProcessLookupError:
                 pass
-            raise SystemExit(128 + sig)
+        raise SystemExit(128 + sig)
 
-        old_handlers = {}
-        for sig in (signal.SIGTERM, signal.SIGINT):
-            try:
-                old_handlers[sig] = signal.signal(sig, _forward)
-            except ValueError:  # not the main thread: no forwarding
-                pass
-        stalled = False
-        cpu_samples: list = []  # (wall_t, cpu_seconds) trail for busy check
-        last_busy_log = 0.0
+    old_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
         try:
+            old_handlers[sig] = signal.signal(sig, _forward)
+        except ValueError:  # not the main thread: no forwarding
+            pass
+
+    try:
+        while True:
+            # stale beats from a previous attempt must not mask a startup hang
+            try:
+                os.remove(heartbeat_path)
+            except OSError:
+                pass
+            t_start = time.time()
+            log(f"[supervise] launch (attempt {restarts + 1}): "
+                f"{' '.join(argv)}", flush=True)
+            child = subprocess.Popen(list(argv), env=env, start_new_session=True)
+            stalled = False
+            cpu_samples: list = []  # (wall_t, cpu_seconds) trail for busy check
+            last_busy_log = 0.0
             while True:
                 rc = child.poll()
                 if rc is not None:
@@ -289,40 +295,40 @@ def supervise(
                     child.wait()
                     break
                 time.sleep(poll_s)
-        finally:
-            for sig, h in old_handlers.items():
-                signal.signal(sig, h)
 
-        if not stalled:
-            log(f"[supervise] child exited rc={child.returncode} after "
-                f"{restarts} restart(s)", flush=True)
-            return SuperviseResult(child.returncode, restarts, stalls,
-                                   time.time() - t_all)
+            if not stalled:
+                log(f"[supervise] child exited rc={child.returncode} after "
+                    f"{restarts} restart(s)", flush=True)
+                return SuperviseResult(child.returncode, restarts, stalls,
+                                       time.time() - t_all)
 
-        stalls += 1
-        if restarts >= max_restarts:
-            log(f"[supervise] giving up: {stalls} stall(s), "
-                f"max_restarts={max_restarts} exhausted", flush=True)
-            return SuperviseResult(-1, restarts, stalls, time.time() - t_all)
+            stalls += 1
+            if restarts >= max_restarts:
+                log(f"[supervise] giving up: {stalls} stall(s), "
+                    f"max_restarts={max_restarts} exhausted", flush=True)
+                return SuperviseResult(-1, restarts, stalls, time.time() - t_all)
 
-        if probe_on_stall:
-            t_probe = time.time()
-            while True:
-                r = probe_backend(probe_platform, timeout_s=probe_timeout_s)
-                if r["ok"]:
-                    log(f"[supervise] backend healthy "
-                        f"(probe {r['latency_s']}s); relaunching", flush=True)
-                    break
-                waited = time.time() - t_probe
-                if waited > probe_max_wait_s:
-                    log(f"[supervise] backend still down after "
-                        f"{waited / 3600:.1f}h of probes; giving up",
-                        flush=True)
-                    # restarts counts RELAUNCHES that actually happened —
-                    # this exit never relaunched after the stall kill
-                    return SuperviseResult(-1, restarts, stalls,
-                                           time.time() - t_all)
-                log(f"[supervise] backend unhealthy ({r['detail']}); "
-                    f"retry in {probe_interval_s:.0f}s", flush=True)
-                time.sleep(probe_interval_s)
-        restarts += 1
+            if probe_on_stall:
+                t_probe = time.time()
+                while True:
+                    r = probe_backend(probe_platform, timeout_s=probe_timeout_s)
+                    if r["ok"]:
+                        log(f"[supervise] backend healthy "
+                            f"(probe {r['latency_s']}s); relaunching", flush=True)
+                        break
+                    waited = time.time() - t_probe
+                    if waited > probe_max_wait_s:
+                        log(f"[supervise] backend still down after "
+                            f"{waited / 3600:.1f}h of probes; giving up",
+                            flush=True)
+                        # restarts counts RELAUNCHES that actually happened —
+                        # this exit never relaunched after the stall kill
+                        return SuperviseResult(-1, restarts, stalls,
+                                               time.time() - t_all)
+                    log(f"[supervise] backend unhealthy ({r['detail']}); "
+                        f"retry in {probe_interval_s:.0f}s", flush=True)
+                    time.sleep(probe_interval_s)
+            restarts += 1
+    finally:
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)

@@ -288,9 +288,20 @@ def main():
         cache.mark("epoch_curve", curve=curve)
         print(f"  epoch {key:>7s}: corr {corr:.4f}  probe-CRPS {probe:.5f}",
               flush=True)
-    max_corr = max(v["corr"] for v in curve.values())
-    eligible = {k: v for k, v in curve.items()
-                if v["corr"] >= 0.8 * max_corr} or curve
+    # select only among checkpoints whose export still EXISTS: the cached
+    # curve may carry entries for since-pruned .h5 files, and picking one
+    # would KeyError at paths_by_key[peak_key] on every relaunch
+    selectable = {k: v for k, v in curve.items() if k in paths_by_key}
+    max_corr = max(v["corr"] for v in selectable.values())
+    # the corr term is a sanity FLOOR (drop broken-cycle checkpoints), not a
+    # tight band — probe-CRPS drives the pick (a tighter corr band measurably
+    # picks worse: it would have excluded the EMA-arm winner, docs/PERF.md)
+    eligible = {k: v for k, v in selectable.items()
+                if v["corr"] >= 0.8 * max_corr}
+    if not eligible or max_corr <= 0:
+        print(f"[epoch-curve] corr gate inactive (max_corr {max_corr:.4f}); "
+              f"selecting on probe-CRPS alone", flush=True)
+        eligible = eligible or selectable
     peak_key = min(eligible, key=lambda k: eligible[k]["crps"])
     peak_epoch = int(peak_key.split(":")[-1])
     peak_corr = curve[peak_key]["corr"]
