@@ -172,20 +172,43 @@ def main():
     cache.mark("config", fp=fingerprint)
 
     # ---- stage 1: datasets (train + HELD-OUT eval split) -------------------
+    # Construction is LAZY behind memoized accessors: on a wedge-recovery
+    # relaunch where training is reused and the battery stages are cached,
+    # nothing downstream touches either dataset, and rebuilding ~2 GB of
+    # synthetic fields (plus the HBM upload) cost minutes of pure waste on
+    # this 1-core host.  The first run builds both eagerly as before.
     t0 = time.perf_counter()
     dcfg = DataConfig()
     regime = not args.plain_data
-    data, indices = make_scale_dataset(args.n_days, 88, 88, 0, dcfg,
-                                       regime=regime)
-    ds_train = DeviceDataset.from_numpy(data, indices, dcfg)
-    n_train_patches = len(indices)
-    del data
-    eval_data, eval_idx = make_scale_dataset(args.heldout_days, 88, 88, 7,
-                                             dcfg, regime=regime)
-    ds_eval = DeviceDataset.from_numpy(eval_data, eval_idx, dcfg)
-    del eval_data
-    mark("datasets", t0, train_patches=n_train_patches,
-         heldout_patches=len(eval_idx))
+    _ds_memo: dict = {}
+
+    def _build_ds(which: str):
+        if which not in _ds_memo:
+            n, seed = ((args.n_days, 0) if which == "train"
+                       else (args.heldout_days, 7))
+            data, indices = make_scale_dataset(n, 88, 88, seed, dcfg,
+                                               regime=regime)
+            _ds_memo[which] = (DeviceDataset.from_numpy(data, indices, dcfg),
+                               len(indices))
+        return _ds_memo[which]
+
+    def get_ds_train():
+        return _build_ds("train")[0]
+
+    def get_ds_eval():
+        return _build_ds("eval")[0]
+
+    ds_cached = cache.get("datasets")
+    if ds_cached is None:
+        n_train_patches = _build_ds("train")[1]
+        payload = cache.mark("datasets", train_patches=n_train_patches,
+                             heldout_patches=_build_ds("eval")[1])
+        mark("datasets", t0, **payload)
+    else:
+        n_train_patches = ds_cached["train_patches"]
+        mark("datasets", t0, cached=True,
+             train_patches=ds_cached["train_patches"],
+             heldout_patches=ds_cached["heldout_patches"])
 
     # ---- stage 2: training at reference scale ------------------------------
     model_override = smoke_model if args.smoke else None
@@ -219,7 +242,7 @@ def main():
               flush=True)
         summary["stages"]["train"] = {"seconds": 0.0, "reused": True}
     else:
-        tr = Trainer(exp, ds_train, workdir=args.workdir)
+        tr = Trainer(exp, get_ds_train(), workdir=args.workdir)
         # A rerun in the same workdir (e.g. after a backend wedge killed a
         # prior attempt) resumes from the forced Orbax checkpoint instead of
         # retraining epochs that already completed.
@@ -258,8 +281,16 @@ def main():
     # members); the selected epoch minimizes the probe CRPS among epochs
     # within 80% of the best correlation.
     t0 = time.perf_counter()
-    sel_reals = np.asarray(ds_eval.sample_patches_raw(
-        jax.random.PRNGKey(991), min(100, n_crps)))
+    _sel_memo: dict = {}
+
+    def get_sel_reals():
+        # only needed when an UNSCORED candidate exists — keep the eval
+        # dataset untouched on fully-cached relaunches
+        if "r" not in _sel_memo:
+            _sel_memo["r"] = np.asarray(get_ds_eval().sample_patches_raw(
+                jax.random.PRNGKey(991), min(100, n_crps)))
+        return _sel_memo["r"]
+
     probe_members = min(100, n_members)
     # scored candidates persist incrementally: a relaunch mid-curve resumes
     # at the first unscored export instead of rescoring all ~50
@@ -277,12 +308,12 @@ def main():
         if key in curve:
             continue
         pg = PretrainedGenerator.from_keras_h5(path, seed=354)
-        ev = Evaluator(exp, ds_eval, pg, workdir="/tmp/paper_epoch_curve",
-                       epoch=e)
+        ev = Evaluator(exp, get_ds_eval(), pg,
+                       workdir="/tmp/paper_epoch_curve", epoch=e)
         res = ev.sample_statistics(n_samples=min(500, n_stat),
                                    save_fields=False, make_plots=False)
         corr = float(daily_cycle_correlation(res))
-        probe = float(crps_gan(pg, sel_reals, n_members=probe_members,
+        probe = float(crps_gan(pg, get_sel_reals(), n_members=probe_members,
                                member_batch=probe_members, seed=354).mean())
         curve[key] = {"corr": round(corr, 4), "crps": round(probe, 5)}
         cache.mark("epoch_curve", curve=curve)
@@ -327,15 +358,27 @@ def main():
     gen_npy = os.path.join(datadir, "generated_samples.npy")
     real_npy = os.path.join(datadir, "real_samples.npy")
     ev_cached = cache.get("eval")
+    _fields_memo: dict = {}
+
+    def get_reals():
+        if "reals" not in _fields_memo:
+            _fields_memo["reals"] = np.load(real_npy)
+        return _fields_memo["reals"]
+
+    def get_gens():
+        if "gens" not in _fields_memo:
+            _fields_memo["gens"] = np.load(gen_npy)
+        return _fields_memo["gens"]
+
     if ev_cached is not None and os.path.exists(gen_npy) \
             and os.path.exists(real_npy):
         held_corr = ev_cached["daily_cycle_corr"]
         ks_frac_distinct = ev_cached["ks_frac_distinct_p05"]
-        reals = np.load(real_npy)
-        gens = np.load(gen_npy)
+        # the ~0.5 GB sample tensors load lazily — only an UNCACHED
+        # rainfarm/crps/lsd stage touches them
         mark("eval_phases_1to5", t0, cached=True, **ev_cached)
     else:
-        ev = Evaluator(exp, ds_eval, pg, workdir=args.workdir,
+        ev = Evaluator(exp, get_ds_eval(), pg, workdir=args.workdir,
                        epoch=peak_epoch)
         res, pvals = ev.run_all(
             n_map_conditions=n_map, n_stat_samples=n_stat,
@@ -353,8 +396,8 @@ def main():
                              ks_frac_distinct_p05=round(ks_frac_distinct, 4),
                              ks_median_p=float(np.median(ks)))
         mark("eval_phases_1to5", t0, **payload)
-        reals = res["real_samples"]      # (n_stat, 24, nd, nd) mm/h
-        gens = res["generated_samples"]
+        _fields_memo["reals"] = res["real_samples"]  # (n_stat, 24, nd, nd) mm/h
+        _fields_memo["gens"] = res["generated_samples"]
 
     # ---- stage 4b: RainFARM baseline (calibrate -> generate -> plots) ------
     t0 = time.perf_counter()
@@ -363,18 +406,28 @@ def main():
     rf_cached = cache.get("rainfarm")
     if rf_cached is not None and os.path.exists(rf_npy):
         alpha, beta = rf_cached["alpha"], rf_cached["beta"]
-        rf_fields = np.load(rf_npy)
+
+        def get_rf_fields():
+            if "rf" not in _fields_memo:
+                _fields_memo["rf"] = np.load(rf_npy)
+            return _fields_memo["rf"]
+
         mark("rainfarm", t0, cached=True, **rf_cached)
     else:
-        slopes = calibrate(ds_train, rf_cfg, outdir=datadir)
+        slopes = calibrate(get_ds_train(), rf_cfg, outdir=datadir)
         alpha, beta = slopes[0]
         generate_and_plot(
-            reals[:n_map], alpha, beta, rf_cfg,
+            get_reals()[:n_map], alpha, beta, rf_cfg,
             plotdir=os.path.join(args.workdir, "plots_generated_rainfarm"),
             datadir=datadir)
-        rf_fields = generate_for_daily_sums(
-            reals[:n_lsd].sum(axis=1), alpha, beta, rf_cfg, seed=1)
-        np.save(rf_npy, np.asarray(rf_fields, dtype=np.float32))
+        _fields_memo["rf"] = np.asarray(generate_for_daily_sums(
+            get_reals()[:n_lsd].sum(axis=1), alpha, beta, rf_cfg, seed=1),
+            dtype=np.float32)
+        np.save(rf_npy, _fields_memo["rf"])
+
+        def get_rf_fields():
+            return _fields_memo["rf"]
+
         payload = cache.mark("rainfarm", alpha=round(float(alpha), 3),
                              beta=round(float(beta), 3))
         mark("rainfarm", t0, **payload)
@@ -387,7 +440,7 @@ def main():
         mark("crps", t0, cached=True,
              **{k: crps_summary[k] for k in ("gan", "random", "rainfarm")})
     else:
-        crps_reals = reals[:n_crps]
+        crps_reals = get_reals()[:n_crps]
         gan_crps = crps_gan(pg, crps_reals, n_members=n_members, seed=354)
         t_gan = time.perf_counter() - t0
         baseline = np.load(os.path.join(datadir,
@@ -426,7 +479,8 @@ def main():
         mark("lsd", t0, cached=True, medians=lsd_medians)
     else:
         dists = run_lsd_evaluation(
-            reals[:n_lsd], gens[:n_lsd], rf_fields, n_samples=n_lsd,
+            get_reals()[:n_lsd], get_gens()[:n_lsd], get_rf_fields(),
+            n_samples=n_lsd,
             outdir=datadir, plotdir=os.path.join(args.workdir, "plots"))
         lsd_medians = {k: round(float(np.median(v[np.isfinite(v)])), 4)
                        for k, v in dists.items()}
