@@ -98,14 +98,14 @@ def main():
 
     from prdisagg_tpu.api import PretrainedGenerator
     from prdisagg_tpu.baselines.rainfarm.pipeline import (
-        calibrate, crps_rainfarm, generate_and_plot, generate_for_daily_sums,
+        calibrate, generate_and_plot, generate_for_daily_sums,
     )
     from prdisagg_tpu.core.config import (
         DataConfig, ExperimentConfig, RainFarmConfig, TrainConfig,
     )
     from prdisagg_tpu.data.sampler import DeviceDataset
     from prdisagg_tpu.eval import Evaluator, daily_cycle_correlation
-    from prdisagg_tpu.eval.crps import analyze, crps_gan, crps_random_baseline
+    from prdisagg_tpu.eval.crps import crps_gan, run_crps_evaluation
     from prdisagg_tpu.eval.lsd import run_lsd_evaluation
     from prdisagg_tpu.train.loop import Trainer
     from scripts.full_protocol_scale_run import make_scale_dataset
@@ -441,23 +441,12 @@ def main():
              **{k: crps_summary[k] for k in ("gan", "random", "rainfarm")})
     else:
         crps_reals = get_reals()[:n_crps]
-        gan_crps = crps_gan(pg, crps_reals, n_members=n_members, seed=354)
-        t_gan = time.perf_counter() - t0
         baseline = np.load(os.path.join(datadir,
                                         "rainfarm_calibration_data.npy"))
-        rnd_crps = crps_random_baseline(crps_reals, baseline)
-        t_rnd = time.perf_counter() - t0 - t_gan
-        rf_crps = crps_rainfarm(
-            crps_reals, alpha, beta, rf_cfg, n_members=n_members,
-            outfile=os.path.join(datadir, "crps_results_rainfarm.pkl"))
-        import pickle
-
-        with open(os.path.join(
-                datadir, f"crps_results_n_sample{len(crps_reals)}.pkl"),
-                "wb") as f:
-            pickle.dump((gan_crps, rnd_crps), f)
-        crps_summary = analyze(gan_crps, rnd_crps, rf_crps, outdir=datadir,
-                               n_bootstrap=n_boot)
+        crps_res = run_crps_evaluation(
+            pg, crps_reals, baseline, n_members=n_members, outdir=datadir,
+            seed=354, rainfarm=(alpha, beta, rf_cfg), n_bootstrap=n_boot)
+        crps_summary = crps_res["analysis"]
         cache.mark("crps", summary={
             k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
             for k, v in crps_summary.items()})
@@ -467,9 +456,10 @@ def main():
              rainfarm=round(crps_summary["rainfarm"], 5),
              ttest_p=crps_summary["ttest_p_gan_vs_random"],
              bootstrap_diff=crps_summary["bootstrap_diff"],
-             gan_samples_per_sec=round(len(crps_reals) / t_gan, 1),
+             gan_samples_per_sec=round(
+                 len(crps_reals) / crps_res["gan_seconds"], 1),
              random_samples_per_sec=round(
-                 len(crps_reals) / max(t_rnd, 1e-9), 1))
+                 len(crps_reals) / max(crps_res["random_seconds"], 1e-9), 1))
 
     # ---- stage 4d: log-spectral distances ----------------------------------
     t0 = time.perf_counter()
