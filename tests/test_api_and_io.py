@@ -123,6 +123,41 @@ def test_keras_h5_critic_export_roundtrip(tmp_path):
     _assert_trees_equal(state.critic_params, loaded)
 
 
+def test_weight_exports_are_atomic(tmp_path):
+    """A failed (or SIGKILLed) export must never corrupt an existing
+    weights file: the supervisor kills process groups mid-export, and a
+    truncated gen_*.h5 crashed protocol epoch-curve scoring on every
+    relaunch (round-4 review).  Writers go through tmp+os.replace, and
+    leftover tmp names do not match the `gen_*.h5` export glob."""
+    from unittest import mock
+
+    state, _, _ = create_train_state(TINY, TrainConfig())
+    p = str(tmp_path / "gen_0001.h5")
+    save_keras_generator_h5(p, state.gen_params, TINY)
+    good = open(p, "rb").read()
+
+    with mock.patch("h5py.File", side_effect=OSError("disk full")):
+        with pytest.raises(OSError):
+            save_keras_generator_h5(p, state.gen_params, TINY)
+    assert open(p, "rb").read() == good  # untouched by the failed write
+
+    pnpz = str(tmp_path / "gen_0001.npz")
+    save_params_npz(pnpz, state.gen_params)
+    goodz = open(pnpz, "rb").read()
+    with mock.patch("numpy.savez", side_effect=OSError("disk full")):
+        with pytest.raises(OSError):
+            save_params_npz(pnpz, state.gen_params)
+    assert open(pnpz, "rb").read() == goodz
+
+    # a crash BETWEEN tmp-write and rename leaves only *.tmp-<pid> files,
+    # which the protocol's export glob (gen_*.h5) must not match
+    import fnmatch
+
+    stray = [f for f in os.listdir(tmp_path)
+             if fnmatch.fnmatch(f, "gen_*.h5") and ".tmp-" in f]
+    assert stray == []
+
+
 def test_keras_h5_export_group_structure(tmp_path):
     """The exported file must emulate TF-2.1 Keras `model.save` nesting:
     model_weights/<layer>/... groups, layer_names / weight_names attrs
