@@ -222,10 +222,12 @@ def cmd_lsd(args):
     from prdisagg_tpu.eval.lsd import run_lsd_evaluation
 
     rf = np.load(args.rainfarm) if args.rainfarm else None
-    run_lsd_evaluation(
+    dists = run_lsd_evaluation(
         np.load(args.real), np.load(args.generated), rf,
         n_samples=args.n_samples, outdir=args.out, plotdir=args.plotdir,
+        reduction=args.reduction,
     )
+    print({k: round(v, 4) for k, v in dists.medians.items()})
     print(f"LSD artifacts in {args.out}")
 
 
@@ -521,6 +523,12 @@ def build_parser():
     l.add_argument("--n-samples", type=int, default=1000)
     l.add_argument("--out", default=".")
     l.add_argument("--plotdir", default="plots")
+    l.add_argument("--reduction", choices=("full", "device"), default="full",
+                   help="full = save complete distance populations "
+                        "(reference artifact contract); device = on-device "
+                        "reduction, exact medians + subsample artifacts "
+                        "(minutes instead of ~27 min at n=1000 through a "
+                        "tunneled chip)")
     l.set_defaults(fn=cmd_lsd)
 
     rc = sub.add_parser("rainfarm-calibrate")

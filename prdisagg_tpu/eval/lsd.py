@@ -4,18 +4,46 @@ Radially averaged power spectra of every hourly field, then all-pairs LSD
 within/between {real, generated, rainfarm} sample sets, saved as .npy arrays
 plus a KDE comparison plot.  The reference's numba O(n^2) loops over 24,000
 spectra become batched device matrix ops (ops/stats.pairwise_lsd).
+
+Two reduction modes:
+
+* ``reduction="full"`` — fetch and save the complete distance populations
+  (the reference's artifact contract: 576M f32 values per population at
+  n=1000).  Through the tunneled single-chip link the fetch dominates:
+  ~27 min for the five battery populations.
+* ``reduction="device"`` — the battery consumes only each population's
+  median and a KDE subsample, so reduce on device
+  (ops/stats.pairwise_lsd_summary: exact central order statistics via
+  bit-pattern bisection) and fetch ~8 MB per population instead of ~2.3 GB.
+  Saves ``*_subsample.npy`` + a summary json in place of the full arrays.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
-from prdisagg_tpu.ops.stats import pairwise_lsd_offdiag, radial_spectra
+from prdisagg_tpu.ops.stats import (
+    pairwise_lsd_offdiag,
+    pairwise_lsd_summary,
+    radial_spectra,
+)
 from prdisagg_tpu.utils.watchdog import beat_if_enabled
+
+
+class LsdResult(dict):
+    """Population arrays (full distances, or KDE subsamples in device mode)
+    plus `.medians`: the exact per-population median over finite values —
+    identical between modes up to GEMM-reassociation rounding."""
+
+    def __init__(self, *args, medians: Optional[Dict[str, float]] = None,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.medians: Dict[str, float] = medians or {}
 
 
 def spectra_of_fields(fields: np.ndarray, chunk: int = 2048) -> np.ndarray:
@@ -29,6 +57,11 @@ def spectra_of_fields(fields: np.ndarray, chunk: int = 2048) -> np.ndarray:
     return np.concatenate(out)
 
 
+def _finite_median(v: np.ndarray) -> float:
+    finite = v[np.isfinite(v)]
+    return float(np.median(finite)) if len(finite) else float("nan")
+
+
 def run_lsd_evaluation(
     real: np.ndarray,
     generated: np.ndarray,
@@ -37,24 +70,47 @@ def run_lsd_evaluation(
     outdir: str = ".",
     plotdir: str = "plots",
     make_plot: bool = True,
-) -> Dict[str, np.ndarray]:
+    reduction: str = "full",
+) -> LsdResult:
     """Inputs are (n, 24, ny, nx) mm/h sample tensors (the .npy artifacts of
-    the evaluation phase-2 stage).  Returns the distance populations."""
+    the evaluation phase-2 stage).  Returns the distance populations (full or
+    subsampled per `reduction`) with exact medians attached."""
+    if reduction not in ("full", "device"):
+        raise ValueError(f"reduction must be 'full' or 'device', got {reduction!r}")
     real = np.asarray(real)[:n_samples]
     generated = np.asarray(generated)[:n_samples]
 
     sp_real = spectra_of_fields(real)
     sp_gen = spectra_of_fields(generated)
 
-    dists = {
-        "real": pairwise_lsd_offdiag(sp_real, sp_real),
-        "gen": pairwise_lsd_offdiag(sp_gen, sp_gen),
-        "between_gen_real": pairwise_lsd_offdiag(sp_gen, sp_real),
-    }
+    pairs = [
+        ("real", sp_real, sp_real),
+        ("gen", sp_gen, sp_gen),
+        ("between_gen_real", sp_gen, sp_real),
+    ]
     if generated_rainfarm is not None:
         sp_rf = spectra_of_fields(np.asarray(generated_rainfarm)[:n_samples])
-        dists["gen_rainfarm"] = pairwise_lsd_offdiag(sp_rf, sp_gen)
-        dists["between_gen_rainfarm_real"] = pairwise_lsd_offdiag(sp_rf, sp_real)
+        pairs += [
+            ("gen_rainfarm", sp_rf, sp_gen),
+            ("between_gen_rainfarm_real", sp_rf, sp_real),
+        ]
+
+    medians: Dict[str, float] = {}
+    summaries: Dict[str, Dict[str, float]] = {}
+    dists = LsdResult()
+    for k, a, b in pairs:
+        if reduction == "device":
+            s = pairwise_lsd_summary(a, b)
+            dists[k] = s["subsample"]
+            medians[k] = s["median"]
+            summaries[k] = {
+                "median": s["median"], "mean": s["mean"],
+                "n_valid": s["n_valid"], "subsample_size": len(s["subsample"]),
+            }
+        else:
+            dists[k] = pairwise_lsd_offdiag(a, b)
+            medians[k] = _finite_median(dists[k])
+    dists.medians = medians
 
     os.makedirs(outdir, exist_ok=True)
     names = {
@@ -66,8 +122,17 @@ def run_lsd_evaluation(
         "between_gen_rainfarm_real":
             f"log_spectral_distances_between_gen_rainfarm_real_n{n_samples}.npy",
     }
-    for k, v in dists.items():
-        np.save(os.path.join(outdir, names[k]), v)
+    if reduction == "device":
+        for k, v in dists.items():
+            np.save(os.path.join(
+                outdir, names[k].replace(".npy", "_subsample.npy")), v)
+        with open(os.path.join(
+                outdir,
+                f"log_spectral_distances_summary_n{n_samples}.json"), "w") as fh:
+            json.dump(summaries, fh, indent=1)
+    else:
+        for k, v in dists.items():
+            np.save(os.path.join(outdir, names[k]), v)
 
     if make_plot:
         import matplotlib.pyplot as plt
@@ -87,7 +152,8 @@ def run_lsd_evaluation(
         # population holds 576M distances and scipy's gaussian_kde is
         # O(n * gridsize) — hours per curve on one core.  A deterministic
         # 2M-element stride subsample is statistically indistinguishable
-        # for a KDE (the saved .npy artifacts keep the FULL populations).
+        # for a KDE (in full mode the saved .npy artifacts keep the FULL
+        # populations; device mode already fetched exactly this subsample).
         kde_cap = 2_000_000
         for k, v in dists.items():
             finite = v[np.isfinite(v)]

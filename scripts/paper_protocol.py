@@ -87,6 +87,12 @@ def main():
                         "gen_ema_*.h5 that compete in epoch selection); "
                         "changes the fused-step jaxpr — first TPU compile "
                         "is cold (~26 min through the tunnel)")
+    p.add_argument("--lsd-full", action="store_true",
+                   help="fetch + save the FULL pairwise-LSD populations "
+                        "(reference artifact contract: ~2.3 GB f32 per "
+                        "population at n=1000, ~27 min through the tunnel). "
+                        "Default reduces on device — exact medians, KDE "
+                        "subsample artifacts, minutes instead")
     p.add_argument("--plain-data", action="store_true",
                    help="fixed-diurnal-cycle synthetic data (pre-round-4 "
                         "runs 1/2).  Default is the regime-dependent "
@@ -471,9 +477,9 @@ def main():
         dists = run_lsd_evaluation(
             get_reals()[:n_lsd], get_gens()[:n_lsd], get_rf_fields(),
             n_samples=n_lsd,
-            outdir=datadir, plotdir=os.path.join(args.workdir, "plots"))
-        lsd_medians = {k: round(float(np.median(v[np.isfinite(v)])), 4)
-                       for k, v in dists.items()}
+            outdir=datadir, plotdir=os.path.join(args.workdir, "plots"),
+            reduction="full" if args.lsd_full else "device")
+        lsd_medians = {k: round(v, 4) for k, v in dists.medians.items()}
         cache.mark("lsd", medians=lsd_medians)
         mark("lsd", t0, medians=lsd_medians)
 

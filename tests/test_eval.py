@@ -162,6 +162,19 @@ def test_lsd_evaluation(eval_setup, tmp_path):
     sp = spectra_of_fields(real)
     assert sp.shape[0] == n
 
+    # device reduction: same medians (exact order statistics on device),
+    # subsample + summary artifacts instead of the full populations
+    dev_dir = tmp_path / "device"
+    dev = run_lsd_evaluation(real, gen, rf, n_samples=4,
+                             outdir=str(dev_dir), plotdir=str(dev_dir),
+                             make_plot=True, reduction="device")
+    for k, v in dists.medians.items():
+        np.testing.assert_allclose(dev.medians[k], v, rtol=2e-5)
+    assert (dev_dir / "log_spectral_distances_real_n4_subsample.npy").exists()
+    assert (dev_dir / "log_spectral_distances_summary_n4.json").exists()
+    assert (dev_dir / "log_spectral_distances_n4.svg").exists()
+    assert not (dev_dir / "log_spectral_distances_real_n4.npy").exists()
+
 
 def test_analyze_bootstrap():
     rng = np.random.RandomState(0)

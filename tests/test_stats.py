@@ -9,6 +9,7 @@ from prdisagg_tpu.ops.stats import (
     log_spectral_distance,
     pairwise_lsd,
     pairwise_lsd_offdiag,
+    pairwise_lsd_summary,
     radial_spectra,
     radial_spectrum,
 )
@@ -143,6 +144,42 @@ def test_pairwise_lsd_matches_direct_formula():
     # excludes same-index pairs), but it must at least be tiny and finite
     mat = np.asarray(pairwise_lsd(jnp.asarray(a), jnp.asarray(a)))
     assert np.all(np.diag(mat) < 1e-3)
+
+
+def test_pairwise_lsd_summary_matches_full_path():
+    """The device reduction must reproduce the full-fetch path: exact
+    n_valid, median/mean over finite kept values (bit-bisection order
+    statistics vs np.median), and — at an uncapped subsample — the whole
+    population, including the odd-block-size and na!=nb shapes."""
+    rng = np.random.RandomState(7)
+    for na, nb, block in [(7, 7, 3), (9, 6, 4), (6, 9, 3), (8, 8, 8)]:
+        a = (rng.rand(na, 11) + 0.1).astype(np.float32)
+        b = a if na == nb else (rng.rand(nb, 11) + 0.1).astype(np.float32)
+        full = pairwise_lsd_offdiag(a, b, block=block)
+        s = pairwise_lsd_summary(a, b, subsample=10**9, block=block)
+        finite = full[np.isfinite(full)]
+        assert s["n_valid"] == len(finite)
+        np.testing.assert_allclose(s["median"], np.median(finite), rtol=2e-5)
+        np.testing.assert_allclose(s["mean"], finite.mean(), rtol=1e-4)
+        np.testing.assert_allclose(np.sort(s["subsample"]), np.sort(full),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_pairwise_lsd_summary_nonfinite_and_cap():
+    """Nonfinite distances (zero-bin spectra) are excluded from the median
+    exactly as the battery's np.median(v[np.isfinite(v)]) excludes them,
+    and the subsample cap bounds the fetched size."""
+    rng = np.random.RandomState(8)
+    a = (np.full((5, 6), 2.0) + rng.rand(5, 6) * 0.5).astype(np.float32)
+    a[1, 2] = 0.0  # log10 -> -inf poisons every pair of spectrum 1
+    full = pairwise_lsd_offdiag(a, a, block=2)
+    finite = full[np.isfinite(full)]
+    s = pairwise_lsd_summary(a, a, subsample=10**9, block=2)
+    assert s["n_valid"] == len(finite) < len(full)
+    np.testing.assert_allclose(s["median"], np.median(finite), rtol=2e-5)
+    capped = pairwise_lsd_summary(a, a, subsample=7, block=2)
+    assert capped["subsample"].shape == (7,)
+    assert capped["n_valid"] == s["n_valid"]
 
 
 def test_pairwise_lsd_zero_bin_nonfinite():
