@@ -90,6 +90,11 @@ def cmd_train(args):
     dcfg = _data_config(args)
     ds, dcfg = _load_dataset(args, dcfg)
     compute_dtype = "float32" if args.f32_parity else args.compute_dtype
+    prod = None
+    if args.production:
+        from prdisagg_tpu.core.config import production_train_config
+
+        prod = production_train_config()
     if args.schedule:
         from prdisagg_tpu.core.config import parse_schedule
 
@@ -97,14 +102,20 @@ def cmd_train(args):
             schedule = parse_schedule(args.schedule)
         except ValueError as err:
             sys.exit(f"bad --schedule: {err}")
+    elif prod is not None:
+        schedule = prod.schedule
     else:
         schedule = ((args.epochs, args.batch_size),)
+    if args.ema_decay is not None:
+        ema_decay = args.ema_decay
+    else:
+        ema_decay = prod.ema_decay if prod is not None else 0.0
     exp = ExperimentConfig(
         data=dcfg,
         train=TrainConfig(
             schedule=schedule,
             n_disc=args.n_disc, seed=args.seed,
-            ema_decay=args.ema_decay,
+            ema_decay=ema_decay,
         ),
         name=args.name,
         compute_dtype=compute_dtype,
@@ -472,9 +483,16 @@ def build_parser():
                    help="conv/matmul precision (params + conservation "
                         "softmax are always float32); default bfloat16")
     t.add_argument("--ema-decay", dest="ema_decay", type=float,
-                   default=0.0,
+                   default=None,
                    help="EMA generator decay per fused step (0 = off, the "
                         "reference protocol); exports gen_ema_* weights")
+    t.add_argument("--production", action="store_true",
+                   help="measured-production preset "
+                        "(core.config.production_train_config): schedule "
+                        "20:32,30:128 + EMA 0.999 — both beat the flat "
+                        "reference protocol on every battery metric "
+                        "(docs/PERF.md).  Explicit --schedule / "
+                        "--ema-decay still win")
     t.add_argument("--f32-parity", dest="f32_parity", action="store_true",
                    help="strict reference-protocol precision (the reference "
                         "trains implicit float32); same as "

@@ -274,6 +274,32 @@ class ExperimentConfig:
         )
 
 
+def production_train_config(**overrides) -> TrainConfig:
+    """Measured-production training defaults.
+
+    The plain `TrainConfig()` replicates the reference protocol exactly
+    (flat ((50, 32)) schedule, no EMA) for parity runs.  This preset turns
+    on everything that measured strictly better at protocol scale on the
+    chip (docs/PERF.md rounds 3-4):
+
+    * the reference's own (commented-out) increasing-batch-size schedule
+      ((20, 32), (30, 128)) — 1.8x the sample-update throughput tail AND
+      better daily-cycle correlation (0.9967 vs 0.9851 flat) at equal
+      sample-update budgets (gan_train_cwgangp_pixelnorm.py:73-74);
+    * ema_decay=0.999 — the EMA-selected checkpoint beat the raw pick on
+      EVERY battery metric (CRPS 0.836 vs 1.073, LSD gen-real 6.36 vs
+      7.47, corr 0.9965 vs 0.9843) and its quality curve stays flat over
+      50 epochs where the raw curve collapses — replacing the reference's
+      pick-an-early-epoch-by-eye workaround
+      (generate_and_evaluate.py:49-52).
+
+    Any keyword overrides win (e.g. seed=...).
+    """
+    kw: dict = dict(schedule=((20, 32), (30, 128)), ema_decay=0.999)
+    kw.update(overrides)
+    return TrainConfig(**kw)
+
+
 def large_domain_experiment() -> ExperimentConfig:
     """The 64x64 large-domain variant
     (alternative_domains/gan_train_cwgangp_pixelnorm_largedomain.py:59,65)."""

@@ -23,6 +23,35 @@ def test_cli_train_synthetic(tmp_path, monkeypatch):
     assert (tmp_path / "hist.csv").exists()
 
 
+def test_cli_train_production_preset(tmp_path, monkeypatch):
+    """--production applies the measured preset (EMA on) while an explicit
+    --schedule still wins over the preset's 20:32,30:128."""
+    monkeypatch.chdir(tmp_path)
+    main([
+        "train", "--synthetic", "--synthetic-days", "4",
+        "--synthetic-size", "32", "--production", "--schedule", "1:4",
+        "--n-disc", "1", "--steps-per-epoch", "2", "--f32-parity",
+        "--workdir", str(tmp_path), "--name", "prodsmoke",
+    ])
+    # EMA exports prove ema_decay=0.999 was active
+    assert glob.glob(
+        str(tmp_path / "trained_models" / "prodsmoke" / "gen_ema_*.h5"))
+
+
+def test_production_train_config_preset():
+    from prdisagg_tpu.core.config import (
+        TrainConfig, production_train_config,
+    )
+
+    prod = production_train_config()
+    assert prod.schedule == ((20, 32), (30, 128))
+    assert prod.ema_decay == 0.999
+    assert production_train_config(seed=7, ema_decay=0.5).ema_decay == 0.5
+    # the plain config stays strict reference parity
+    ref = TrainConfig()
+    assert ref.schedule == ((50, 32),) and ref.ema_decay == 0.0
+
+
 def test_cli_compute_indices(tmp_path):
     rng = np.random.RandomState(0)
     data = rng.gamma(0.8, 4.0, size=(3, 24, 32, 32)).astype(np.float32)
