@@ -3,5 +3,7 @@ from prdisagg_tpu.api.pretrained import (
     generate_scenarios,
     plot_scenarios,
 )
+from prdisagg_tpu.api.server import ScenarioServer
 
-__all__ = ["PretrainedGenerator", "generate_scenarios", "plot_scenarios"]
+__all__ = ["PretrainedGenerator", "ScenarioServer", "generate_scenarios",
+           "plot_scenarios"]

@@ -1,0 +1,183 @@
+"""Persistent scenario-serving daemon over a Unix domain socket.
+
+The reference's serving story is "import the script"
+(raindisagg_gan_pretrained.py:43-49): every consumer process pays the TF
+import, the `.h5` load, and a fresh predict graph.  Production serving on
+a TPU chip wants the opposite — ONE resident process owning the device,
+weights pinned in HBM (api/pretrained.py device_put), the forward traced
+once — with cheap clients.  This module provides that: newline-delimited
+JSON over a Unix socket, requests served sequentially (one chip = one
+compute queue; concurrent clients simply wait on the accept backlog).
+
+Protocol — one JSON object per line, one JSON response line per request:
+
+    {"cmd": "ping"}                    -> {"ok": true, "pong": true}
+    {"cmd": "info"}                    -> {"ok": true, "ndomain": ..., ...}
+    {"cmd": "shutdown"}                -> {"ok": true, "shutdown": true}
+    {"cond": [[...]], "n_scenarios": 10}
+        -> {"ok": true, "scenarios": [...], "shape": [...], "seconds": ...}
+    {"cond_npy": "in.npy", "n_scenarios": 1000, "out": "out.npy"}
+        -> {"ok": true, "out": "out.npy", "shape": [...], "seconds": ...}
+
+`cond` / `cond_npy` may be one (nd, nd)[, 1] daily-sum map — reference
+`generate_scenarios` semantics — or a (K, nd, nd)[, 1] stack, which is
+served as ONE fused forward (`generate_scenarios_batch`, riding the
+measured batch-8000 throughput peak; docs/PERF.md).  Large results must
+use "out" (saved atomically as .npy); inline JSON responses are capped.
+A request error never kills the server: {"ok": false, "error": "..."}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+from typing import Optional
+
+import numpy as np
+
+from prdisagg_tpu.utils.watchdog import beat_if_enabled
+
+# inline float lists above this many elements are refused (JSON encoding of
+# a 1000-scenario flagship response would be ~600 MB of text); callers pass
+# "out" instead and get an .npy
+INLINE_CAP = 2_000_000
+
+
+class ScenarioServer:
+    """Serve a PretrainedGenerator over a Unix socket until shutdown."""
+
+    def __init__(self, generator, socket_path: str, backlog: int = 8):
+        self.generator = generator
+        self.socket_path = socket_path
+        if os.path.exists(socket_path):
+            os.unlink(socket_path)
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._sock.bind(socket_path)
+        self._sock.listen(backlog)
+        self._shutdown = False
+
+    # -- request handling ------------------------------------------------------
+    def handle_request(self, req: dict) -> dict:
+        cmd = req.get("cmd")
+        if cmd == "ping":
+            return {"ok": True, "pong": True}
+        if cmd == "info":
+            cfg = self.generator.cfg
+            return {
+                "ok": True, "ndomain": cfg.ndomain, "nhours": cfg.nhours,
+                "latent_dim": cfg.latent_dim,
+                "compute_dtype": cfg.compute_dtype,
+                "max_batch": self.generator.max_batch,
+            }
+        if cmd == "shutdown":
+            self._shutdown = True
+            return {"ok": True, "shutdown": True}
+        if cmd is not None:
+            return {"ok": False, "error": f"unknown cmd {cmd!r}"}
+
+        if "cond_npy" in req:
+            cond = np.load(req["cond_npy"])
+        elif "cond" in req:
+            cond = np.asarray(req["cond"], dtype=np.float32)
+        else:
+            return {"ok": False,
+                    "error": "request needs 'cond', 'cond_npy', or 'cmd'"}
+        n = int(req.get("n_scenarios", 10))
+        if n < 1:
+            return {"ok": False, "error": f"n_scenarios must be >= 1, got {n}"}
+
+        nd = self.generator.cfg.ndomain
+        is_map = cond.shape[:2] == (nd, nd) and (
+            cond.ndim == 2 or (cond.ndim == 3 and cond.shape[2] == 1))
+        is_stack = (cond.ndim == 3 and cond.shape[1:] == (nd, nd)) or (
+            cond.ndim == 4 and cond.shape[1:] == (nd, nd, 1))
+        t0 = time.perf_counter()
+        if is_map:
+            scenarios = self.generator.generate_scenarios(cond, n)
+        elif is_stack:  # (K, nd, nd)[, 1] stack -> one fused batch
+            scenarios = self.generator.generate_scenarios_batch(cond, n)
+        else:
+            return {"ok": False,
+                    "error": f"cond shape {cond.shape} is neither one "
+                             f"({nd}, {nd})[, 1] map nor a "
+                             f"(K, {nd}, {nd})[, 1] stack"}
+        seconds = time.perf_counter() - t0
+
+        resp = {"ok": True, "shape": list(scenarios.shape),
+                "seconds": round(seconds, 4)}
+        out = req.get("out")
+        if out:
+            # atomic like the weight exports: a client killed mid-response
+            # must never leave a truncated .npy behind
+            tmp = f"{out}.tmp-{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                np.save(fh, scenarios.astype(np.float32))
+            os.replace(tmp, out)
+            resp["out"] = out
+        elif scenarios.size <= INLINE_CAP:
+            resp["scenarios"] = scenarios.tolist()
+        else:
+            return {"ok": False,
+                    "error": f"result has {scenarios.size} elements "
+                             f"(> inline cap {INLINE_CAP}); pass 'out' "
+                             "to receive an .npy path"}
+        return resp
+
+    # -- accept loop ------------------------------------------------------------
+    def serve_forever(self, max_requests: Optional[int] = None) -> int:
+        """Accept connections until a shutdown request (or max_requests,
+        for tests).  Returns the number of requests served."""
+        served = 0
+        try:
+            while not self._shutdown:
+                if max_requests is not None and served >= max_requests:
+                    break
+                conn, _ = self._sock.accept()
+                # a stalled client must not wedge the server
+                conn.settimeout(60.0)
+                try:
+                    rfile = conn.makefile("rb")
+                    for line in rfile:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            resp = self.handle_request(json.loads(line))
+                        except Exception as err:  # noqa: BLE001 — serve on
+                            resp = {"ok": False,
+                                    "error": f"{type(err).__name__}: {err}"}
+                        conn.sendall(json.dumps(resp).encode() + b"\n")
+                        served += 1
+                        beat_if_enabled()
+                        if self._shutdown or (max_requests is not None
+                                              and served >= max_requests):
+                            break
+                except (socket.timeout, BrokenPipeError, ConnectionError):
+                    pass  # that client is gone; keep serving others
+                finally:
+                    conn.close()
+        finally:
+            self.close()
+        return served
+
+    def close(self) -> None:
+        self._sock.close()
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+
+
+def request(socket_path: str, req: dict, timeout: float = 600.0) -> dict:
+    """One-shot client: send a request line, return the parsed response."""
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.settimeout(timeout)
+        s.connect(socket_path)
+        s.sendall(json.dumps(req).encode() + b"\n")
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(1 << 20)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf)

@@ -377,6 +377,24 @@ def cmd_generate(args):
         print(f"saved {path}")
 
 
+def cmd_serve(args):
+    """Persistent serving daemon: load once, pin weights on device, answer
+    newline-JSON requests over a Unix socket until a shutdown request."""
+    from prdisagg_tpu.api import PretrainedGenerator, ScenarioServer
+
+    if args.weights.endswith(".h5"):
+        gen = PretrainedGenerator.from_keras_h5(
+            args.weights, seed=args.seed, max_batch=args.max_batch)
+    else:
+        gen = PretrainedGenerator.from_npz(
+            args.weights, seed=args.seed, max_batch=args.max_batch)
+    server = ScenarioServer(gen, args.socket_path)
+    print(f"serving {args.weights} (ndomain={gen.cfg.ndomain}) "
+          f"on {args.socket_path}", flush=True)
+    served = server.serve_forever(max_requests=args.max_requests)
+    print(f"served {served} requests; bye")
+
+
 def cmd_download(args):
     from prdisagg_tpu.data.download import download_range
 
@@ -613,6 +631,22 @@ def build_parser():
     g.add_argument("--plot", default=None,
                    help="also save a scenario-grid png of the first request")
     g.set_defaults(fn=cmd_generate)
+
+    srv = sub.add_parser(
+        "serve",
+        help="persistent scenario-serving daemon: weights pinned on device, "
+             "forward traced once, newline-JSON requests over a Unix "
+             "socket (api/server.py docstring has the protocol)")
+    srv.add_argument("--weights", required=True)
+    srv.add_argument("--socket", required=True, dest="socket_path",
+                     help="Unix socket path to listen on")
+    srv.add_argument("--seed", type=int, default=354)
+    srv.add_argument("--max-batch", type=int, default=None,
+                     help="per-forward device batch cap (default: the "
+                          "measured domain-scaled ceiling)")
+    srv.add_argument("--max-requests", type=int, default=None,
+                     help="exit after N requests (smoke/testing)")
+    srv.set_defaults(fn=cmd_serve)
 
     d = sub.add_parser("download")
     d.add_argument("--start", default="20090101")

@@ -1,0 +1,122 @@
+"""Scenario-serving daemon (api/server.py): protocol, parity with the
+direct inference API, fused-batch path, error isolation, shutdown."""
+
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from prdisagg_tpu.api import PretrainedGenerator, ScenarioServer
+from prdisagg_tpu.api.server import request
+from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+from prdisagg_tpu.train import create_train_state
+
+TINY = ModelConfig(
+    ndomain=16, latent_dim=8,
+    gen_channels=(8, 8, 8), base_channels=8, critic_channels=(8, 8, 8, 8),
+)
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    sock = str(tmp_path_factory.mktemp("srv") / "scenarios.sock")
+    gen = PretrainedGenerator(state.gen_params, TINY, seed=11)
+    server = ScenarioServer(gen, sock)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield sock, state
+    if thread.is_alive():
+        try:
+            request(sock, {"cmd": "shutdown"}, timeout=10)
+        except OSError:
+            pass
+    thread.join(timeout=30)
+
+
+def test_server_ping_info(served):
+    sock, _ = served
+    assert request(sock, {"cmd": "ping"}) == {"ok": True, "pong": True}
+    info = request(sock, {"cmd": "info"})
+    assert info["ok"] and info["ndomain"] == 16 and info["latent_dim"] == 8
+
+
+def test_server_single_request_matches_direct_api(served):
+    sock, state = served
+    cond = 10.0 * np.ones((16, 16), dtype=np.float32)
+    resp = request(sock, {"cond": cond.tolist(), "n_scenarios": 3})
+    assert resp["ok"] and resp["shape"] == [3, 24, 16, 16]
+    got = np.asarray(resp["scenarios"], dtype=np.float32)
+    # a fresh generator with the server's seed replays the same key chain
+    ref = PretrainedGenerator(state.gen_params, TINY, seed=11)
+    want = ref.generate_scenarios(cond, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # conservation survives the JSON round-trip
+    np.testing.assert_allclose(
+        got.sum(axis=1), np.broadcast_to(cond, got.sum(axis=1).shape),
+        rtol=1e-3)
+
+
+def test_server_batch_and_npy_out(served, tmp_path):
+    sock, _ = served
+    conds = np.stack([np.full((16, 16), 5.0, np.float32),
+                      np.full((16, 16), 20.0, np.float32)])
+    inp = str(tmp_path / "conds.npy")
+    out = str(tmp_path / "scen.npy")
+    np.save(inp, conds)
+    resp = request(sock, {"cond_npy": inp, "n_scenarios": 4, "out": out})
+    assert resp["ok"] and resp["out"] == out
+    scen = np.load(out)
+    assert scen.shape == (2, 4, 24, 16, 16)
+    np.testing.assert_allclose(
+        scen.sum(axis=2), np.broadcast_to(conds[:, None], (2, 4, 16, 16)),
+        rtol=1e-3)
+
+
+def test_server_errors_do_not_kill_it(served):
+    sock, _ = served
+    bad_shape = request(sock, {"cond": [[1.0, 2.0]], "n_scenarios": 2})
+    assert not bad_shape["ok"] and "cond shape" in bad_shape["error"]
+    assert not request(sock, {"cmd": "nope"})["ok"]
+    assert not request(sock, {"n_scenarios": 2})["ok"]
+    assert not request(sock, {"cond_npy": "/does/not/exist.npy"})["ok"]
+    # inline cap: a too-large inline result is refused with guidance
+    big = request(sock, {
+        "cond": np.ones((16, 16)).tolist(), "n_scenarios": 400})
+    assert not big["ok"] and "out" in big["error"]
+    # and the server still answers
+    assert request(sock, {"cmd": "ping"})["ok"]
+
+
+def test_server_shutdown_last(served):
+    sock, _ = served
+    assert request(sock, {"cmd": "shutdown"})["ok"]
+
+
+def test_request_lines_share_one_connection(tmp_path):
+    """Multiple newline-delimited requests on one connection each get a
+    response, and max_requests bounds the loop for smoke runs."""
+    import socket as socketlib
+
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    sock_path = str(tmp_path / "s.sock")
+    server = ScenarioServer(
+        PretrainedGenerator(state.gen_params, TINY), sock_path)
+    thread = threading.Thread(
+        target=server.serve_forever, kwargs={"max_requests": 3}, daemon=True)
+    thread.start()
+    with socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM) as s:
+        s.settimeout(120)
+        s.connect(sock_path)
+        s.sendall(b'{"cmd": "ping"}\n{"cmd": "info"}\n{"cmd": "ping"}\n')
+        buf = b""
+        while buf.count(b"\n") < 3:
+            chunk = s.recv(1 << 16)
+            if not chunk:
+                break
+            buf += chunk
+    lines = [json.loads(l) for l in buf.splitlines()]
+    assert len(lines) == 3 and all(r["ok"] for r in lines)
+    thread.join(timeout=30)
+    assert not thread.is_alive()
