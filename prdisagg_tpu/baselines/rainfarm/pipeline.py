@@ -100,7 +100,7 @@ def generate_and_plot(
     import matplotlib.pyplot as plt
     import seaborn as sns
 
-    from prdisagg_tpu.ops.stats import ecdf
+    from prdisagg_tpu.ops.stats import ecdf_plot
     from prdisagg_tpu.utils.plotting import close_all, map_comparison_grid
 
     os.makedirs(plotdir, exist_ok=True)
@@ -115,16 +115,16 @@ def generate_and_plot(
     sns.set_palette("colorblind")
     plt.figure()
     ax1 = plt.subplot(211)
-    plt.plot(*ecdf(generated.mean(axis=(2, 3))), label="gen")
-    plt.plot(*ecdf(reals.mean(axis=(2, 3))), label="real")
+    plt.plot(*ecdf_plot(generated.mean(axis=(2, 3))), label="gen")
+    plt.plot(*ecdf_plot(reals.mean(axis=(2, 3))), label="real")
     plt.legend(loc="upper left")
     sns.despine()
     plt.xlabel("mm/h")
     plt.ylabel("ecdf areamean")
     plt.semilogx()
     ax2 = plt.subplot(212)
-    plt.plot(*ecdf(generated), label="gen")
-    plt.plot(*ecdf(reals), label="real")
+    plt.plot(*ecdf_plot(generated), label="gen")
+    plt.plot(*ecdf_plot(reals), label="real")
     plt.legend(loc="upper left")
     sns.despine()
     plt.ylabel("ecdf")

@@ -25,7 +25,7 @@ import numpy as np
 from prdisagg_tpu.api.pretrained import PretrainedGenerator
 from prdisagg_tpu.core.config import EvalConfig, ExperimentConfig
 from prdisagg_tpu.data.sampler import DeviceDataset
-from prdisagg_tpu.ops.stats import ecdf
+from prdisagg_tpu.ops.stats import ecdf_plot
 from prdisagg_tpu.utils.watchdog import beat_if_enabled
 
 
@@ -196,8 +196,8 @@ class Evaluator:
         sns.set_palette("colorblind")
         plt.figure()
         ax1 = plt.subplot(211)
-        plt.plot(*ecdf(res["amean_gen"]), label="gen")
-        plt.plot(*ecdf(res["amean_real"]), label="real")
+        plt.plot(*ecdf_plot(res["amean_gen"]), label="gen")
+        plt.plot(*ecdf_plot(res["amean_real"]), label="real")
         plt.legend(loc="upper left")
         sns.despine()
         plt.xlabel("mm/h")
@@ -205,8 +205,8 @@ class Evaluator:
         plt.semilogx()
         ax2 = plt.subplot(212)
         if "generated_samples" in res:
-            plt.plot(*ecdf(res["generated_samples"]), label="gen")
-            plt.plot(*ecdf(res["real_samples"]), label="real")
+            plt.plot(*ecdf_plot(res["generated_samples"]), label="gen")
+            plt.plot(*ecdf_plot(res["real_samples"]), label="real")
         plt.legend(loc="upper left")
         sns.despine()
         plt.ylabel("ecdf")

@@ -31,6 +31,24 @@ def ecdf(data: np.ndarray):
     return x, y
 
 
+def ecdf_plot(data: np.ndarray, cap: int = 200_000):
+    """ecdf() decimated to <= ~cap quantile-spaced vertices for PLOTTING.
+
+    The reference plots the full-resolution ECDF of every flattened field
+    (generate_and_evaluate.py:449-465) — at the 10k-sample protocol that is
+    a 61M-vertex matplotlib path per curve, minutes of GIL-held host work
+    on one core (which also starves the JAX dispatch thread; docs/PERF.md).
+    A sorted stride is the same curve at any plottable resolution; the
+    first and last points are kept so the curve still spans
+    [min, max] x (~0, 1.0].  Numeric consumers keep using ecdf()."""
+    x, y = ecdf(data)
+    if len(x) > cap:
+        step = len(x) // cap + 1
+        x = np.concatenate([x[::step], x[-1:]])
+        y = np.concatenate([y[::step], y[-1:]])
+    return x, y
+
+
 # ---------------------------------------------------------------------------
 # CRPS
 # ---------------------------------------------------------------------------

@@ -201,6 +201,25 @@ def test_ecdf():
     np.testing.assert_allclose(y, [1 / 3, 2 / 3, 1.0])
 
 
+def test_ecdf_plot_decimation():
+    from prdisagg_tpu.ops.stats import ecdf_plot
+
+    rng = np.random.RandomState(3)
+    data = rng.rand(1000)
+    # under the cap: identical to ecdf()
+    x, y = ecdf_plot(data, cap=2000)
+    xf, yf = ecdf(data)
+    np.testing.assert_array_equal(x, xf)
+    np.testing.assert_array_equal(y, yf)
+    # over the cap: a sorted stride that keeps the [min, max] x (.., 1.0]
+    # span, every point an actual ECDF vertex
+    x, y = ecdf_plot(data, cap=100)
+    assert len(x) <= 102 and len(x) == len(y)
+    assert x[0] == xf[0] and x[-1] == xf[-1] and y[-1] == 1.0
+    assert np.all(np.diff(x) >= 0)
+    assert np.all(np.isin(x, xf))
+
+
 def test_crps_ensemble_fixed_matches_per_sample():
     """The fixed-ensemble batched form (spread computed once) must equal
     vmapping the per-sample estimator over observations."""
