@@ -48,7 +48,7 @@ class PretrainedGenerator:
 
     def __init__(self, params, cfg: Optional[ModelConfig] = None,
                  norm_scale: float = NORM_SCALE, seed: int = 0,
-                 max_batch: Optional[int] = None):
+                 max_batch: Optional[int] = None, mesh=None):
         """`max_batch` caps the per-forward device batch: larger requests
         are served in chunks (batch 8000 is the single-chip HBM ceiling at
         the flagship architecture and also its throughput peak, ~29k
@@ -68,19 +68,35 @@ class PretrainedGenerator:
         Precision: inference defaults to float32 — the reference's predict
         path is implicit f32 (raindisagg_gan_pretrained.py:60) and published
         weights expect it; bfloat16 is the TRAINING default only.  Pass a
-        cfg with compute_dtype="bfloat16" for throughput-first serving."""
+        cfg with compute_dtype="bfloat16" for throughput-first serving.
+
+        `mesh` (a 1-D `jax.sharding.Mesh`, e.g. `parallel.make_mesh()`)
+        turns on data-parallel serving: params are replicated, the scenario
+        batch is sharded over the mesh axis, and XLA runs the forward SPMD —
+        per-sample math is unchanged, so sharded output equals single-device
+        output.  Per-device batch becomes max_batch/mesh.size, so serving
+        throughput scales with chips (the reference is single-GPU predict;
+        SURVEY §2.2 names DP over ICI as the TPU-native replacement)."""
         self.cfg = cfg or ModelConfig(compute_dtype="float32")
+        self.mesh = mesh
         # pin the weights on device ONCE: .h5/.npz loaders hand back host
         # numpy trees, and a host tree passed to a jitted predict re-uploads
         # every weight on EVERY call — through the tunneled TPU that turned
         # the 10k-sample CRPS protocol from ~8 to ~27 minutes (round 4;
         # docs/PERF.md)
-        self.params = jax.device_put(params)
+        if mesh is not None:
+            from prdisagg_tpu.parallel.mesh import replicate
+
+            self.params = replicate(params, mesh)
+        else:
+            self.params = jax.device_put(params)
         self.norm_scale = norm_scale
         if max_batch is None:
             nd = self.cfg.ndomain
             max_batch = 8000 if nd <= 16 else \
                 max(32, int(8000 * (16 / nd) ** 2 / 4))
+        if mesh is not None:  # chunks must divide evenly over the mesh axis
+            max_batch = max(mesh.size, max_batch - max_batch % mesh.size)
         self.max_batch = max_batch
         self._gen = Generator(self.cfg)
         self._predict = lambda p, l, c: _apply_generator(self._gen, p, l, c)
@@ -115,30 +131,48 @@ class PretrainedGenerator:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _device_forward(self, lat, cnd) -> jax.Array:
+        """One jitted forward; batch-sharded SPMD when a mesh is configured
+        (inputs placed with a batch-axis NamedSharding — the GSPMD
+        partitioner propagates it through the whole forward)."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from prdisagg_tpu.parallel.mesh import batch_spec
+
+            lat = jax.device_put(
+                lat, NamedSharding(self.mesh, batch_spec(lat.ndim)))
+            cnd = jax.device_put(
+                cnd, NamedSharding(self.mesh, batch_spec(cnd.ndim)))
+        return self._predict(self.params, lat, cnd)
+
     def predict_fractions(self, latent, cond_batch) -> jax.Array:
         """Raw generator output: (B, nhours, nd, nd, 1) fractions.
 
         Batches above `max_batch` run as equal-shape chunks (the last chunk
         zero-padded and sliced) so one jitted program serves any request
-        size without exceeding HBM."""
+        size without exceeding HBM; under a mesh every device batch is also
+        padded to a multiple of the mesh size."""
         latent = jnp.asarray(latent)
         cond_batch = jnp.asarray(cond_batch)
         n = latent.shape[0]
         mb = self.max_batch
-        if n <= mb:
-            return self._predict(self.params, latent, cond_batch)
-        outs = []
-        for i0 in range(0, n, mb):
-            lat = latent[i0:i0 + mb]
-            cnd = cond_batch[i0:i0 + mb]
-            pad = mb - lat.shape[0]
+        quantum = self.mesh.size if self.mesh is not None else 1
+
+        def run(lat, cnd, target):
+            pad = target - lat.shape[0]
             if pad:  # keep the jitted shape; drop the padded rows after
                 lat = jnp.concatenate([lat, jnp.zeros((pad, *lat.shape[1:]),
                                                       lat.dtype)])
                 cnd = jnp.concatenate([cnd, jnp.zeros((pad, *cnd.shape[1:]),
                                                       cnd.dtype)])
-            out = self._predict(self.params, lat, cnd)
-            outs.append(out[:mb - pad] if pad else out)
+            out = self._device_forward(lat, cnd)
+            return out[:target - pad] if pad else out
+
+        if n <= mb:
+            return run(latent, cond_batch, -(-n // quantum) * quantum)
+        outs = [run(latent[i0:i0 + mb], cond_batch[i0:i0 + mb], mb)
+                for i0 in range(0, n, mb)]
         return jnp.concatenate(outs)
 
     def generate_scenarios(

@@ -347,12 +347,13 @@ def cmd_generate(args):
     batch-8000 throughput peak."""
     from prdisagg_tpu.api import PretrainedGenerator
 
+    mesh = _dp_mesh(args)
     if args.weights.endswith(".h5"):
         gen = PretrainedGenerator.from_keras_h5(
-            args.weights, seed=args.seed, max_batch=args.max_batch)
+            args.weights, seed=args.seed, max_batch=args.max_batch, mesh=mesh)
     else:
         gen = PretrainedGenerator.from_npz(
-            args.weights, seed=args.seed, max_batch=args.max_batch)
+            args.weights, seed=args.seed, max_batch=args.max_batch, mesh=mesh)
     conds = np.load(args.conds)
     single = conds.ndim == 2 or (conds.ndim == 3
                                  and conds.shape[-1] == 1
@@ -377,17 +378,27 @@ def cmd_generate(args):
         print(f"saved {path}")
 
 
+def _dp_mesh(args):
+    """Optional data-parallel serving mesh from --dp N (0/None = off)."""
+    if not getattr(args, "dp", None):
+        return None
+    from prdisagg_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(args.dp)
+
+
 def cmd_serve(args):
     """Persistent serving daemon: load once, pin weights on device, answer
     newline-JSON requests over a Unix socket until a shutdown request."""
     from prdisagg_tpu.api import PretrainedGenerator, ScenarioServer
 
+    mesh = _dp_mesh(args)
     if args.weights.endswith(".h5"):
         gen = PretrainedGenerator.from_keras_h5(
-            args.weights, seed=args.seed, max_batch=args.max_batch)
+            args.weights, seed=args.seed, max_batch=args.max_batch, mesh=mesh)
     else:
         gen = PretrainedGenerator.from_npz(
-            args.weights, seed=args.seed, max_batch=args.max_batch)
+            args.weights, seed=args.seed, max_batch=args.max_batch, mesh=mesh)
     server = ScenarioServer(gen, args.socket_path)
     print(f"serving {args.weights} (ndomain={gen.cfg.ndomain}) "
           f"on {args.socket_path}", flush=True)
@@ -630,6 +641,10 @@ def build_parser():
                         "single-chip throughput peak, docs/PERF.md)")
     g.add_argument("--plot", default=None,
                    help="also save a scenario-grid png of the first request")
+    g.add_argument("--dp", type=int, default=0,
+                   help="shard the scenario batch data-parallel over the "
+                        "first N devices (params replicated; per-sample "
+                        "output identical to single-device)")
     g.set_defaults(fn=cmd_generate)
 
     srv = sub.add_parser(
@@ -646,6 +661,9 @@ def build_parser():
                           "measured domain-scaled ceiling)")
     srv.add_argument("--max-requests", type=int, default=None,
                      help="exit after N requests (smoke/testing)")
+    srv.add_argument("--dp", type=int, default=0,
+                     help="shard every request's scenario batch over the "
+                          "first N devices (data-parallel serving)")
     srv.set_defaults(fn=cmd_serve)
 
     d = sub.add_parser("download")

@@ -480,3 +480,66 @@ def test_pretrained_generator_pins_params_on_device():
     pg = PretrainedGenerator(host_params, TINY)
     assert all(isinstance(x, jax.Array)
                for x in jax.tree_util.tree_leaves(pg.params))
+
+
+def test_mesh_serving_matches_single_device():
+    """Data-parallel serving (PretrainedGenerator(mesh=...)): the scenario
+    batch is sharded over the mesh axis with params replicated — per-sample
+    math is untouched, so the result must match the single-device path,
+    including non-divisible scenario counts (padded to a mesh multiple) and
+    chunked requests (max_batch rounded to a mesh multiple).  SURVEY §2.2:
+    DP over ICI is the TPU-native replacement for the reference's
+    single-GPU predict."""
+    from prdisagg_tpu.parallel import make_mesh
+
+    state, _, _ = create_train_state(TINY, TrainConfig())
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(7)
+    cond = rng.uniform(1.0, 30.0, (16, 16, 1)).astype(np.float32)
+    latent = rng.randn(10, TINY.latent_dim).astype("f4")
+
+    pg = PretrainedGenerator(state.gen_params, TINY)
+    pg_dp = PretrainedGenerator(state.gen_params, TINY, mesh=mesh)
+    # n=10 is not a multiple of 8: the pad-and-slice path must be exact
+    scen = pg.generate_scenarios(cond, 10, latent=latent)
+    scen_dp = pg_dp.generate_scenarios(cond, 10, latent=latent)
+    np.testing.assert_allclose(scen_dp, scen, rtol=1e-6, atol=1e-7)
+
+    # chunked + mesh: an explicit max_batch is rounded to a mesh multiple
+    pg_dp_chunk = PretrainedGenerator(state.gen_params, TINY, max_batch=7,
+                                      mesh=mesh)
+    assert pg_dp_chunk.max_batch == 8
+    scen_chunk = pg_dp_chunk.generate_scenarios(cond, 10, latent=latent)
+    np.testing.assert_allclose(scen_chunk, scen, rtol=1e-6, atol=1e-7)
+
+
+def test_mesh_serving_actually_shards():
+    """The forward under a mesh must BE data-parallel: the fraction batch
+    comes back sharded over all mesh devices (not replicated on one)."""
+    from prdisagg_tpu.parallel import make_mesh
+
+    state, _, _ = create_train_state(TINY, TrainConfig())
+    mesh = make_mesh(8)
+    pg = PretrainedGenerator(state.gen_params, TINY, mesh=mesh)
+    latent = np.zeros((16, TINY.latent_dim), np.float32)
+    cond = np.full((16, 16, 16, 1), 0.1, np.float32)
+    out = pg.predict_fractions(latent, cond)
+    assert len(out.sharding.device_set) == 8
+    # batch axis sharded: each device holds 16/8 = 2 rows
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(2, *out.shape[1:])}
+
+
+def test_mesh_serving_batch_api_matches():
+    """generate_scenarios_batch under a mesh equals the no-mesh result."""
+    from prdisagg_tpu.parallel import make_mesh
+
+    state, _, _ = create_train_state(TINY, TrainConfig())
+    rng = np.random.RandomState(11)
+    conds = rng.uniform(1.0, 30.0, (3, 16, 16)).astype(np.float32)
+    latent = rng.randn(3 * 5, TINY.latent_dim).astype("f4")
+    pg = PretrainedGenerator(state.gen_params, TINY)
+    pg_dp = PretrainedGenerator(state.gen_params, TINY, mesh=make_mesh(8))
+    a = pg.generate_scenarios_batch(conds, 5, latent=latent)
+    b = pg_dp.generate_scenarios_batch(conds, 5, latent=latent)
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
