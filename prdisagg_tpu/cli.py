@@ -192,9 +192,11 @@ def _load_generator(args, model_cfg=None):
 
     if args.weights is None:
         return None
+    mesh = _dp_mesh(args)
     if args.weights.endswith(".h5"):
-        return PretrainedGenerator.from_keras_h5(args.weights, model_cfg)
-    return PretrainedGenerator.from_npz(args.weights, model_cfg)
+        return PretrainedGenerator.from_keras_h5(args.weights, model_cfg,
+                                                 mesh=mesh)
+    return PretrainedGenerator.from_npz(args.weights, model_cfg, mesh=mesh)
 
 
 def cmd_evaluate(args):
@@ -551,6 +553,8 @@ def build_parser():
     e.add_argument("--workdir", default=".")
     e.add_argument("--name", default="wgancp_pixelnorm")
     e.add_argument("--smoke", action="store_true")
+    e.add_argument("--dp", type=int, default=0,
+                   help="shard eval forwards data-parallel over N devices")
     e.set_defaults(fn=cmd_evaluate)
 
     cr = sub.add_parser("crps")
