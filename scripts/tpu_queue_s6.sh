@@ -35,24 +35,37 @@ GATE() { python -m prdisagg_tpu.cli doctor --wait 36000 \
 GATE "queue-start"
 LOG "backend healthy — draining queue"
 
-# 1. Cold-cache bench: warms every driver-bench compile.
-if [ ! -f artifacts/.queue_s6_bench_warm_done ]; then
+# 1. Cold-cache bench: warms every driver-bench compile.  RETRY until it
+#    succeeds — bench's preflight probe cannot distinguish a wedged tunnel
+#    from a saturated 1-core host (a concurrent CPU job makes the 45 s
+#    probe subprocess time out), so a single failure is not conclusive.
+attempt=0
+while [ ! -f artifacts/.queue_s6_bench_warm_done ] && [ $attempt -lt 8 ]; do
+    attempt=$((attempt + 1))
     GATE "bench-warm"
     WAIT_QUIET
-    LOG "stage bench-warm (cold cache: expect long compiles)"
+    LOG "stage bench-warm attempt $attempt (cold cache: expect long compiles)"
     python bench.py | tee artifacts/bench_s6_warm.json \
         && ! grep -q '"value": 0' artifacts/bench_s6_warm.json \
         && touch artifacts/.queue_s6_bench_warm_done \
-        || LOG "stage bench-warm FAILED"
-fi
+        || { LOG "stage bench-warm attempt $attempt FAILED; backing off"; \
+             sleep 300; }
+done
 
 # 2. Fresh EMA regime battery with the device-LSD default (new workdir so
 #    nothing is cached) — the updated end-to-end wall-clock headline.
-if [ ! -f artifacts/paper_protocol_regime_ema2/paper_protocol_summary.json ]; then
+#    HARD-gated on the warm marker: a cold fused-step compile (~26 min,
+#    no heartbeat while XLA compiles) under a 900 s stall timeout would
+#    livelock kill->relaunch->recompile until max-restarts.  Stall timeout
+#    2400 s still tolerates protocol-scale stage compiles that miss the
+#    bench cache (different shapes at spe=2265).
+if [ ! -f artifacts/.queue_s6_bench_warm_done ]; then
+    LOG "SKIPPING regime-battery-ema2: bench never warmed the cache"
+elif [ ! -f artifacts/paper_protocol_regime_ema2/paper_protocol_summary.json ]; then
     GATE "regime-battery-ema2"
     WAIT_QUIET
     LOG "stage regime-battery-ema2"
-    python -m prdisagg_tpu.cli supervise --stall-timeout 900 --max-restarts 4 -- \
+    python -m prdisagg_tpu.cli supervise --stall-timeout 2400 --max-restarts 4 -- \
         python scripts/paper_protocol.py \
             --workdir artifacts/paper_protocol_regime_ema2 --ema-decay 0.999 \
         || LOG "stage regime-battery-ema2 FAILED (rc $?)"
