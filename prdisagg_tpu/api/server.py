@@ -178,6 +178,11 @@ def request(socket_path: str, req: dict, timeout: float = 600.0) -> dict:
         while not buf.endswith(b"\n"):
             chunk = s.recv(1 << 20)
             if not chunk:
-                break
+                # the server closed the connection without completing a
+                # response (per-connection timeout or shutdown mid-flight);
+                # a bare json error here reads as a protocol bug
+                raise ConnectionError(
+                    f"server on {socket_path} closed the connection "
+                    f"mid-response ({len(buf)} bytes received)")
             buf += chunk
     return json.loads(buf)

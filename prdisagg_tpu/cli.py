@@ -90,33 +90,29 @@ def cmd_train(args):
     dcfg = _data_config(args)
     ds, dcfg = _load_dataset(args, dcfg)
     compute_dtype = "float32" if args.f32_parity else args.compute_dtype
-    prod = None
-    if args.production:
-        from prdisagg_tpu.core.config import production_train_config
-
-        prod = production_train_config()
+    # explicit flags always win; --production supplies the rest of the
+    # preset wholesale (never field-by-field, so future preset fields are
+    # picked up here automatically)
+    explicit = dict(n_disc=args.n_disc, seed=args.seed)
     if args.schedule:
         from prdisagg_tpu.core.config import parse_schedule
 
         try:  # each stage recompiles the fused step once
-            schedule = parse_schedule(args.schedule)
+            explicit["schedule"] = parse_schedule(args.schedule)
         except ValueError as err:
             sys.exit(f"bad --schedule: {err}")
-    elif prod is not None:
-        schedule = prod.schedule
-    else:
-        schedule = ((args.epochs, args.batch_size),)
     if args.ema_decay is not None:
-        ema_decay = args.ema_decay
+        explicit["ema_decay"] = args.ema_decay
+    if args.production:
+        from prdisagg_tpu.core.config import production_train_config
+
+        tcfg = production_train_config(**explicit)
     else:
-        ema_decay = prod.ema_decay if prod is not None else 0.0
+        explicit.setdefault("schedule", ((args.epochs, args.batch_size),))
+        tcfg = TrainConfig(**explicit)
     exp = ExperimentConfig(
         data=dcfg,
-        train=TrainConfig(
-            schedule=schedule,
-            n_disc=args.n_disc, seed=args.seed,
-            ema_decay=ema_decay,
-        ),
+        train=tcfg,
         name=args.name,
         compute_dtype=compute_dtype,
     )
@@ -187,16 +183,18 @@ def cmd_reformat_nc(args):
           f"shape {tensor.shape}")
 
 
-def _load_generator(args, model_cfg=None):
+def _load_generator(args, model_cfg=None, **kw):
+    """The one owner of weight-format dispatch (+ the --dp mesh) for every
+    CLI surface that builds a PretrainedGenerator; extra kwargs (seed,
+    max_batch, ...) pass through to the constructor."""
     from prdisagg_tpu.api import PretrainedGenerator
 
     if args.weights is None:
         return None
-    mesh = _dp_mesh(args)
+    kw.setdefault("mesh", _dp_mesh(args))
     if args.weights.endswith(".h5"):
-        return PretrainedGenerator.from_keras_h5(args.weights, model_cfg,
-                                                 mesh=mesh)
-    return PretrainedGenerator.from_npz(args.weights, model_cfg, mesh=mesh)
+        return PretrainedGenerator.from_keras_h5(args.weights, model_cfg, **kw)
+    return PretrainedGenerator.from_npz(args.weights, model_cfg, **kw)
 
 
 def cmd_evaluate(args):
@@ -347,15 +345,7 @@ def cmd_generate(args):
     semantics (raindisagg_gan_pretrained.py:52-65); a stack (K, nd, nd)[, 1]
     is served as ONE fused batch (generate_scenarios_batch) riding the
     batch-8000 throughput peak."""
-    from prdisagg_tpu.api import PretrainedGenerator
-
-    mesh = _dp_mesh(args)
-    if args.weights.endswith(".h5"):
-        gen = PretrainedGenerator.from_keras_h5(
-            args.weights, seed=args.seed, max_batch=args.max_batch, mesh=mesh)
-    else:
-        gen = PretrainedGenerator.from_npz(
-            args.weights, seed=args.seed, max_batch=args.max_batch, mesh=mesh)
+    gen = _load_generator(args, seed=args.seed, max_batch=args.max_batch)
     conds = np.load(args.conds)
     single = conds.ndim == 2 or (conds.ndim == 3
                                  and conds.shape[-1] == 1
@@ -392,15 +382,9 @@ def _dp_mesh(args):
 def cmd_serve(args):
     """Persistent serving daemon: load once, pin weights on device, answer
     newline-JSON requests over a Unix socket until a shutdown request."""
-    from prdisagg_tpu.api import PretrainedGenerator, ScenarioServer
+    from prdisagg_tpu.api import ScenarioServer
 
-    mesh = _dp_mesh(args)
-    if args.weights.endswith(".h5"):
-        gen = PretrainedGenerator.from_keras_h5(
-            args.weights, seed=args.seed, max_batch=args.max_batch, mesh=mesh)
-    else:
-        gen = PretrainedGenerator.from_npz(
-            args.weights, seed=args.seed, max_batch=args.max_batch, mesh=mesh)
+    gen = _load_generator(args, seed=args.seed, max_batch=args.max_batch)
     server = ScenarioServer(gen, args.socket_path)
     print(f"serving {args.weights} (ndomain={gen.cfg.ndomain}) "
           f"on {args.socket_path}", flush=True)

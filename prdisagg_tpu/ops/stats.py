@@ -292,15 +292,18 @@ def _lsd_summary_device(a_pad: jax.Array, b: jax.Array, sub_rows: jax.Array,
             valid &= rows[:, None] != col_ids[None, :]
         return d, valid
 
+    # counts accumulate in uint32: int64 is unavailable without x64, int32
+    # overflows at 2^31 pairs (~1930 samples x 24 h); uint32 covers the full
+    # 2^32 range the host-side guard in pairwise_lsd_summary enforces
     def stats_pass(i, carry):
         n_valid, total = carry
         d, valid = block_dists(i)
-        return (n_valid + jnp.sum(valid, dtype=jnp.int32),
+        return (n_valid + jnp.sum(valid, dtype=jnp.uint32),
                 total + jnp.sum(jnp.where(valid, d, 0.0)))
 
     n_valid, total = jax.lax.fori_loop(
-        0, n_blocks, stats_pass, (jnp.int32(0), jnp.float32(0.0)))
-    mean = total / jnp.maximum(n_valid, 1)
+        0, n_blocks, stats_pass, (jnp.uint32(0), jnp.float32(0.0)))
+    mean = total / jnp.maximum(n_valid, jnp.uint32(1))
 
     # the two central order statistics (0-based ranks), np.median semantics
     ks = jnp.stack([(n_valid - 1) // 2, n_valid // 2])
@@ -311,8 +314,8 @@ def _lsd_summary_device(a_pad: jax.Array, b: jax.Array, sub_rows: jax.Array,
             d, valid = block_dists(i)
             return acc + jnp.sum(
                 valid[:, :, None] & (d[:, :, None] <= t[None, None, :]),
-                axis=(0, 1), dtype=jnp.int32)
-        return jax.lax.fori_loop(0, n_blocks, body, jnp.zeros(2, jnp.int32))
+                axis=(0, 1), dtype=jnp.uint32)
+        return jax.lax.fori_loop(0, n_blocks, body, jnp.zeros(2, jnp.uint32))
 
     # bisect on int32 bit patterns: smallest bits v with
     # count_leq(float(v)) >= k+1 is exactly the k-th smallest data value
@@ -366,6 +369,11 @@ def pairwise_lsd_summary(spectra_a: np.ndarray, spectra_b: np.ndarray,
     na, nb = len(a), len(b)
     n_excl = min(na, nb) if exclude_same_index else 0
     n_kept = na * nb - n_excl
+    if na * nb >= 2**32:
+        raise ValueError(
+            f"population of {na}x{nb} pairs exceeds the device reducer's "
+            "uint32 count capacity (2^32); split the populations or use the "
+            "full-fetch path (reduction='full')")
     m_sub = int(min(subsample, n_kept))
 
     # host-computed flat positions of an even stride over the kept values

@@ -55,7 +55,16 @@ class StageCache:
     def _flush(self) -> None:
         d = os.path.dirname(os.path.abspath(self.path))
         os.makedirs(d, exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._state, f, indent=2, sort_keys=True)
-        os.replace(tmp, self.path)
+        # pid-unique tmp name: two writers racing a SHARED tmp path can
+        # steal each other's rename (observed live: duplicate battery
+        # instances -> FileNotFoundError mid-run).  Concurrent writers are
+        # still wrong (the protocol holds a workdir lock against that) but
+        # degrade to last-writer-wins instead of crashing.
+        tmp = f"{self.path}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(self._state, f, indent=2, sort_keys=True)
+            os.replace(tmp, self.path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)

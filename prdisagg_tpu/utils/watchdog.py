@@ -138,6 +138,41 @@ def beat_if_enabled() -> None:
     _env_hb.beat()
 
 
+def acquire_workdir_lock(workdir: str, name: str = ".lock"):
+    """Exclusive advisory lock on a working directory, held for the caller's
+    process lifetime (the fd is returned and must be kept referenced).
+
+    Two instances of a resumable protocol sharing a workdir corrupt each
+    other (observed live: a duplicate battery relaunch raced the first on
+    checkpoints, hist.csv, and the stage cache).  flock is inherited-free
+    across exec and auto-released on ANY process death — including SIGKILL
+    from a supervisor — so a crashed run never wedges the lock.
+
+    Raises RuntimeError naming the holder when already locked.
+    """
+    import fcntl
+
+    os.makedirs(workdir, exist_ok=True)
+    path = os.path.join(workdir, name)
+    fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        holder = ""
+        try:
+            holder = os.read(fd, 64).decode(errors="replace").strip()
+        except OSError:
+            pass
+        os.close(fd)
+        raise RuntimeError(
+            f"workdir {workdir} is locked by another running instance"
+            + (f" (pid {holder})" if holder else "")
+            + "; refusing to run two protocols in one workdir")
+    os.ftruncate(fd, 0)
+    os.write(fd, str(os.getpid()).encode())
+    return fd
+
+
 @dataclass
 class SuperviseResult:
     returncode: int

@@ -137,6 +137,12 @@ def main():
             20, 1000, 20, 5000, 10, 10_000
 
     os.makedirs(args.workdir, exist_ok=True)
+    # refuse a second live instance in this workdir: duplicates race on
+    # checkpoints, hist.csv, and the stage cache (held for process life,
+    # auto-released on any death incl. a supervisor SIGKILL)
+    from prdisagg_tpu.utils.watchdog import acquire_workdir_lock
+
+    _lock_fd = acquire_workdir_lock(args.workdir)  # noqa: F841
     datadir = os.path.join(args.workdir, "data")
     summary = {"config": vars(args).copy(), "stages": {}}
     t_all = time.perf_counter()

