@@ -549,6 +549,10 @@ def build_parser():
     cr.add_argument("--n-members", type=int, default=1000)
     cr.add_argument("--n-samples", type=int, default=10000)
     cr.add_argument("--out", default="data")
+    cr.add_argument("--dp", type=int, default=0,
+                    help="shard each chunk's samples data-parallel over the "
+                         "first N devices (params replicated; results "
+                         "exactly equal to single-device)")
     cr.set_defaults(fn=cmd_crps)
 
     l = sub.add_parser("lsd")

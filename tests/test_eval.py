@@ -138,6 +138,29 @@ def test_crps_gan_chunked_matches_per_sample(eval_setup):
     np.testing.assert_allclose(out_a, np.stack(manual), rtol=1e-4, atol=1e-6)
 
 
+def test_crps_gan_dp_matches_single_device(eval_setup):
+    """crps_gan under a data-parallel mesh must equal the single-device
+    result EXACTLY: the key-split chain is precomputed (sample i gets split
+    i+1 either way) and the per-sample math is untouched — shard_map only
+    changes which device scores which sample.  Covers a ragged tail and a
+    sample_chunk that is not a mesh multiple (rounded up, pads after every
+    real sample)."""
+    from prdisagg_tpu.eval.crps import crps_gan
+    from prdisagg_tpu.parallel import make_mesh
+
+    ev, workdir, pg, ds = eval_setup
+    reals = np.asarray(ds.sample_patches_raw(jax.random.PRNGKey(13), 11))
+
+    single = crps_gan(pg, reals, n_members=8, member_batch=4,
+                      sample_chunk=6, seed=7)
+    pg_dp = PretrainedGenerator(pg.params, pg.cfg, seed=354,
+                                mesh=make_mesh(8))
+    dp = crps_gan(pg_dp, reals, n_members=8, member_batch=4,
+                  sample_chunk=6, seed=7)  # chunk 6 -> rounded to 8
+    assert dp.shape == single.shape == (11, 24)
+    np.testing.assert_array_equal(dp, single)
+
+
 def test_crps_random_baseline_identity():
     # ensemble == every member equals obs -> crps == 0
     obs = np.ones((2, 24, 4, 4), dtype=np.float32)
