@@ -26,6 +26,26 @@ from prdisagg_tpu.utils.watchdog import beat_if_enabled
 from functools import lru_cache, partial
 
 
+def _score_one_sample(gen, params, real, dsum, latents, n_members, mb,
+                      latent_dim, norm_scale):
+    """Area-mean CRPS row (24,) for ONE sample: its n_members ensemble is
+    drawn via lax.map of mb-sized generator batches.  The single owner of
+    the per-sample scoring math — the sequential (`_crps_score_chunk`) and
+    data-parallel (`_dp_score_chunk`) paths both trace exactly this."""
+    cond = (dsum / norm_scale)[None, ..., None]
+
+    def gen_chunk(lat):
+        cond_b = jnp.broadcast_to(cond, (mb, *cond.shape[1:]))
+        frac = gen.apply(params, lat, cond_b)[..., 0]
+        return frac * dsum[None, None]
+
+    ens = jax.lax.map(
+        gen_chunk, latents.reshape(n_members // mb, mb, latent_dim)
+    ).reshape(n_members, *real.shape)
+    crps = crps_ensemble(real, ens)
+    return jnp.mean(crps, axis=(1, 2))
+
+
 @partial(jax.jit,
          static_argnames=("gen", "n_members", "mb", "latent_dim",
                           "norm_scale"))
@@ -40,25 +60,12 @@ def _crps_score_chunk(gen, params, reals, dsums, key, n_members, mb,
     selection stage — share ONE trace instead of re-tracing per call.
     params stays an explicit argument: closing over it would embed ~80 MB
     of weights as program constants in the (remote) compile request."""
-    def score_one(real, dsum, latents):
-        cond = (dsum / norm_scale)[None, ..., None]
-
-        def gen_chunk(lat):
-            cond_b = jnp.broadcast_to(cond, (mb, *cond.shape[1:]))
-            frac = gen.apply(params, lat, cond_b)[..., 0]
-            return frac * dsum[None, None]
-
-        ens = jax.lax.map(
-            gen_chunk, latents.reshape(n_members // mb, mb, latent_dim)
-        ).reshape(n_members, *real.shape)
-        crps = crps_ensemble(real, ens)
-        return jnp.mean(crps, axis=(1, 2))
-
     def body(k, x):
         real, dsum = x
         k, sub = jax.random.split(k)
         latents = jax.random.normal(sub, (n_members, latent_dim))
-        return k, score_one(real, dsum, latents)
+        return k, _score_one_sample(gen, params, real, dsum, latents,
+                                    n_members, mb, latent_dim, norm_scale)
 
     key, rows = jax.lax.scan(body, key, (reals, dsums))
     return key, rows
@@ -96,18 +103,9 @@ def _dp_score_chunk(gen, n_members, mb, latent_dim, norm_scale, mesh):
         def body(_, x):
             real, dsum, sub = x
             latents = jax.random.normal(sub, (n_members, latent_dim))
-            cond = (dsum / norm_scale)[None, ..., None]
-
-            def gen_chunk(lat):
-                cond_b = jnp.broadcast_to(cond, (mb, *cond.shape[1:]))
-                frac = gen.apply(params, lat, cond_b)[..., 0]
-                return frac * dsum[None, None]
-
-            ens = jax.lax.map(
-                gen_chunk, latents.reshape(n_members // mb, mb, latent_dim)
-            ).reshape(n_members, *real.shape)
-            crps = crps_ensemble(real, ens)
-            return (), jnp.mean(crps, axis=(1, 2))
+            return (), _score_one_sample(gen, params, real, dsum, latents,
+                                         n_members, mb, latent_dim,
+                                         norm_scale)
 
         _, rows = jax.lax.scan(body, (), (reals, dsums, subs))
         return rows

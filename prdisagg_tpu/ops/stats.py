@@ -349,6 +349,16 @@ def _lsd_summary_device(a_pad: jax.Array, b: jax.Array, sub_rows: jax.Array,
     return med_pair, mean, n_valid, sub
 
 
+def _check_pair_count_capacity(na: int, nb: int) -> None:
+    """The device reducer accumulates pair counts in uint32 (int64 needs
+    jax x64); na*nb == 2^32 - 1 is the largest representable population."""
+    if na * nb >= 2**32:
+        raise ValueError(
+            f"population of {na}x{nb} pairs exceeds the device reducer's "
+            "uint32 count capacity (2^32); split the populations or use the "
+            "full-fetch path (reduction='full')")
+
+
 def pairwise_lsd_summary(spectra_a: np.ndarray, spectra_b: np.ndarray,
                          subsample: int = 2_000_000, block: int = 2048,
                          exclude_same_index: bool = True) -> Dict[str, object]:
@@ -369,11 +379,7 @@ def pairwise_lsd_summary(spectra_a: np.ndarray, spectra_b: np.ndarray,
     na, nb = len(a), len(b)
     n_excl = min(na, nb) if exclude_same_index else 0
     n_kept = na * nb - n_excl
-    if na * nb >= 2**32:
-        raise ValueError(
-            f"population of {na}x{nb} pairs exceeds the device reducer's "
-            "uint32 count capacity (2^32); split the populations or use the "
-            "full-fetch path (reduction='full')")
+    _check_pair_count_capacity(na, nb)
     m_sub = int(min(subsample, n_kept))
 
     # host-computed flat positions of an even stride over the kept values

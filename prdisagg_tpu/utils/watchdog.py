@@ -144,9 +144,15 @@ def acquire_workdir_lock(workdir: str, name: str = ".lock"):
 
     Two instances of a resumable protocol sharing a workdir corrupt each
     other (observed live: a duplicate battery relaunch raced the first on
-    checkpoints, hist.csv, and the stage cache).  flock is inherited-free
-    across exec and auto-released on ANY process death — including SIGKILL
-    from a supervisor — so a crashed run never wedges the lock.
+    checkpoints, hist.csv, and the stage cache).  flock auto-releases when
+    the last fd on the open file description closes — on ANY process death,
+    including SIGKILL from a supervisor — so a crashed run never wedges the
+    lock.  Caveat: the lock lives on the open file DESCRIPTION, so it IS
+    preserved across fork/exec if the fd leaks into a child; Python os.open
+    fds are non-inheritable by default (PEP 446), which is what keeps
+    children from holding it — do not pass this fd via pass_fds /
+    close_fds=False to a long-lived child, or the child will keep the
+    workdir locked after the parent dies.
 
     Raises RuntimeError naming the holder when already locked.
     """

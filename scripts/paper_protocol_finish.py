@@ -9,10 +9,9 @@ KDE plot, recovers the medians, and writes paper_protocol_summary.json with
 the verdict block assembled from the values passed on the command line /
 found in data/.
 
-Usage: python scripts/paper_protocol_finish.py <workdir> <peak_epoch> <corr> <ks_frac>
+Usage: python scripts/paper_protocol_finish.py <workdir> <peak_epoch> <corr> <ks_frac> [n_lsd]
 """
 
-import glob
 import json
 import os
 import sys
@@ -27,16 +26,16 @@ def main():
     peak_epoch = int(sys.argv[2])
     held_corr = float(sys.argv[3])
     ks_frac = float(sys.argv[4])
+    n_lsd = int(sys.argv[5]) if len(sys.argv) > 5 else 1000
     datadir = os.path.join(workdir, "data")
 
+    # one n everywhere: populations, subsamples, AND the exact-median
+    # summary json (a glob here once matched a stale smoke run's
+    # summary_n100.json and silently fed wrong medians to the verdict)
     names = {
-        "real": "log_spectral_distances_real_n1000.npy",
-        "gen": "log_spectral_distances_gen_n1000.npy",
-        "gen_rainfarm": "log_spectral_distances_gen_rainfarm_n1000.npy",
-        "between_gen_real":
-            "log_spectral_distances_between_gen_real_n1000.npy",
-        "between_gen_rainfarm_real":
-            "log_spectral_distances_between_gen_rainfarm_real_n1000.npy",
+        k: f"log_spectral_distances_{k}_n{n_lsd}.npy"
+        for k in ("real", "gen", "gen_rainfarm", "between_gen_real",
+                  "between_gen_rainfarm_real")
     }
     labels = {
         "real": "obs", "gen": "generated",
@@ -55,11 +54,11 @@ def main():
     medians = {}
     # device-reduction runs (the default) save exact medians in a summary
     # json and *_subsample.npy arrays instead of the full populations
-    summary_fn = glob.glob(
-        os.path.join(datadir, "log_spectral_distances_summary_n*.json"))
+    summary_fn = os.path.join(
+        datadir, f"log_spectral_distances_summary_n{n_lsd}.json")
     summary = {}
-    if summary_fn:
-        with open(summary_fn[0]) as f:
+    if os.path.exists(summary_fn):
+        with open(summary_fn) as f:
             summary = json.load(f)
     kde_cap = 2_000_000
     for k, fn in names.items():
@@ -83,7 +82,8 @@ def main():
     sns.despine()
     plotdir = os.path.join(workdir, "plots")
     os.makedirs(plotdir, exist_ok=True)
-    plt.savefig(os.path.join(plotdir, "log_spectral_distances_n1000.svg"))
+    plt.savefig(os.path.join(
+        plotdir, f"log_spectral_distances_n{n_lsd}.svg"))
     plt.close("all")
 
     with open(os.path.join(datadir, "crps_results.json")) as f:

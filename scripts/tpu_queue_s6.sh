@@ -15,7 +15,7 @@
 # resumes via protocol_state.json + Orbax.
 #
 # Usage: nohup bash scripts/tpu_queue_s6.sh >> artifacts/tpu_queue_s6.log 2>&1 &
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 mkdir -p artifacts
 LOG() { echo "[queue $(date +%H:%M:%S)] $*"; }
@@ -46,6 +46,7 @@ while [ ! -f artifacts/.queue_s6_bench_warm_done ] && [ $attempt -lt 8 ]; do
     WAIT_QUIET
     LOG "stage bench-warm attempt $attempt (cold cache: expect long compiles)"
     python bench.py | tee artifacts/bench_s6_warm.json \
+        && grep -q '"metric"' artifacts/bench_s6_warm.json \
         && ! grep -q '"value": 0' artifacts/bench_s6_warm.json \
         && touch artifacts/.queue_s6_bench_warm_done \
         || { LOG "stage bench-warm attempt $attempt FAILED; backing off"; \

@@ -188,16 +188,20 @@ def test_pairwise_lsd_summary_capacity_guard():
     loudly before any device work — silent int wraparound here would return
     plausible-looking garbage medians (the counters accumulate in uint32
     because int64 is unavailable without jax x64)."""
+    from prdisagg_tpu.ops.stats import _check_pair_count_capacity
+
     n = 65_536  # n*n == 2^32 exactly
     a = np.ones((n, 2), dtype=np.float32)
     with pytest.raises(ValueError, match="uint32 count capacity"):
         pairwise_lsd_summary(a, a, subsample=8)
-    # one row below the limit is accepted (host-side check only: don't run
-    # the 4e9-pair reduction, just confirm no guard fires at index build)
-    try:
-        pairwise_lsd_summary(a[: 2**16 - 1][:64], a[:64], subsample=8)
-    except ValueError as err:  # pragma: no cover
-        raise AssertionError(f"guard misfired under the limit: {err}")
+    # boundary, on the extracted check (running a just-under-capacity
+    # reduction would cost ~4e9 pairs — the guard itself is host-side):
+    with pytest.raises(ValueError, match="uint32 count capacity"):
+        _check_pair_count_capacity(2**16, 2**16)          # == 2^32
+    _check_pair_count_capacity(2**16 - 1, 2**16 + 1)      # == 2^32 - 1
+    _check_pair_count_capacity(2**16, 2**16 - 1)
+    # and an in-capacity end-to-end call still passes the guard
+    pairwise_lsd_summary(a[:64], a[:64], subsample=8)
 
 
 def test_pairwise_lsd_zero_bin_nonfinite():
