@@ -51,10 +51,11 @@ class PretrainedGenerator:
                  max_batch: Optional[int] = None, mesh=None):
         """`max_batch` caps the per-forward device batch: larger requests
         are served in chunks (batch 8000 is the single-chip HBM ceiling at
-        the flagship architecture and also its throughput peak, ~29k
-        scenarios/s — docs/PERF.md; the reference relies on Keras
-        `predict`'s internal batching the same way,
-        raindisagg_gan_pretrained.py:60).
+        the flagship architecture under bf16 forwards and also its
+        throughput peak, ~29k scenarios/s — docs/PERF.md; at the f32
+        inference default the ceiling halves to 4000, see below; the
+        reference relies on Keras `predict`'s internal batching the same
+        way, raindisagg_gan_pretrained.py:60).
 
         The default (None) scales that measured 16x16 ceiling with the
         domain's activation footprint (~ndomain^2) plus 4x headroom:
@@ -92,9 +93,20 @@ class PretrainedGenerator:
             self.params = jax.device_put(params)
         self.norm_scale = norm_scale
         if max_batch is None:
+            # The 8000 ceiling at 16x16 was measured under bf16 forwards
+            # (~12 GB program HBM); f32 — today's inference DEFAULT for
+            # reference predict parity — doubles the col-expansion temps
+            # (measured: f32 batch-8000 compiles to 23.81 GB of 15.75 GB,
+            # found live by scripts/exp_serve_bench.py), so its cap halves.
+            # The nd>16 rule was derived FROM f32 OOM measurements
+            # (~48 MB HLO temp/sample at 64x64) and already carries 4x
+            # headroom, so it stays dtype-blind.
             nd = self.cfg.ndomain
-            max_batch = 8000 if nd <= 16 else \
-                max(32, int(8000 * (16 / nd) ** 2 / 4))
+            f32 = self.cfg.compute_dtype not in ("bfloat16",)
+            if nd <= 16:
+                max_batch = 4000 if f32 else 8000
+            else:
+                max_batch = max(32, int(8000 * (16 / nd) ** 2 / 4))
         if mesh is not None:  # chunks must divide evenly over the mesh axis
             max_batch = max(mesh.size, max_batch - max_batch % mesh.size)
         self.max_batch = max_batch

@@ -431,7 +431,11 @@ def test_default_max_batch_scales_with_domain():
     ResourceExhausted at run time next to a resident training state."""
     import dataclasses
 
-    assert PretrainedGenerator({}, TINY).max_batch == 8000
+    assert PretrainedGenerator({}, TINY).max_batch == 8000  # bf16 ceiling
+    # the f32 inference DEFAULT halves it: f32 batch-8000 compiles to
+    # 23.81G of 15.75G HBM (found live by scripts/exp_serve_bench.py)
+    f32 = dataclasses.replace(TINY, compute_dtype="float32")
+    assert PretrainedGenerator({}, f32).max_batch == 4000
     big = dataclasses.replace(TINY, ndomain=64)
     assert PretrainedGenerator({}, big).max_batch == 125
     assert PretrainedGenerator({}, dataclasses.replace(TINY, ndomain=32)) \
