@@ -628,9 +628,10 @@ def build_parser():
     g.add_argument("--n-scenarios", type=int, default=1000)
     g.add_argument("--out", default="scenarios.npy")
     g.add_argument("--seed", type=int, default=354)
-    g.add_argument("--max-batch", type=int, default=8000,
-                   help="per-forward device batch cap (8000 is the v5e "
-                        "single-chip throughput peak, docs/PERF.md)")
+    g.add_argument("--max-batch", type=int, default=None,
+                   help="per-forward device batch cap (default: the "
+                        "measured domain- and dtype-scaled HBM ceiling — "
+                        "8000 bf16 / 4000 f32 at 16x16, docs/PERF.md)")
     g.add_argument("--plot", default=None,
                    help="also save a scenario-grid png of the first request")
     g.add_argument("--dp", type=int, default=0,
