@@ -16,6 +16,9 @@ Protocol — one JSON object per line, one JSON response line per request:
     {"cmd": "shutdown"}                -> {"ok": true, "shutdown": true}
     {"cond": [[...]], "n_scenarios": 10}
         -> {"ok": true, "scenarios": [...], "shape": [...], "seconds": ...}
+    {"cond": [[...]], "n_scenarios": 100, "encoding": "b64"}
+        -> {"ok": true, "scenarios_b64": "...", "dtype": "float32",
+            "shape": [...], "seconds": ...}
     {"cond_npy": "in.npy", "n_scenarios": 1000, "out": "out.npy"}
         -> {"ok": true, "out": "out.npy", "shape": [...], "seconds": ...}
 
@@ -24,11 +27,20 @@ Protocol — one JSON object per line, one JSON response line per request:
 served as ONE fused forward (`generate_scenarios_batch`, riding the
 measured batch-8000 throughput peak; docs/PERF.md).  Large results must
 use "out" (saved atomically as .npy); inline JSON responses are capped.
+
+Encoding: the default inline response is a nested float list — friendly
+to any JSON client but paid for in host CPU (repr of one float is ~1 µs;
+a 100-scenario flagship response is 614k floats, and on a 1-core host the
+encode alone cost ~1 s — the on-chip serve bench measured p50 1043 ms
+against ~6 ms of device time).  `"encoding": "b64"` returns the same f32
+array as base64 of its C-order bytes instead (decode with
+`scenarios_array(resp)`), turning the encode into two memcpy-rate passes.
 A request error never kills the server: {"ok": false, "error": "..."}.
 """
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import socket
@@ -41,8 +53,10 @@ from prdisagg_tpu.utils.watchdog import beat_if_enabled
 
 # inline float lists above this many elements are refused (JSON encoding of
 # a 1000-scenario flagship response would be ~600 MB of text); callers pass
-# "out" instead and get an .npy
+# "out" instead and get an .npy, or "encoding": "b64" whose cheaper/denser
+# wire format affords a larger cap (2^25 elements = 134 MB raw, ~179 MB b64)
 INLINE_CAP = 2_000_000
+B64_CAP = 1 << 25
 
 
 class ScenarioServer:
@@ -87,6 +101,11 @@ class ScenarioServer:
         n = int(req.get("n_scenarios", 10))
         if n < 1:
             return {"ok": False, "error": f"n_scenarios must be >= 1, got {n}"}
+        encoding = req.get("encoding", "list")
+        if encoding not in ("list", "b64"):
+            return {"ok": False,
+                    "error": f"unknown encoding {encoding!r} "
+                             "(expected 'list' or 'b64')"}
 
         nd = self.generator.cfg.ndomain
         is_map = cond.shape[:2] == (nd, nd) and (
@@ -116,13 +135,23 @@ class ScenarioServer:
                 np.save(fh, scenarios.astype(np.float32))
             os.replace(tmp, out)
             resp["out"] = out
+        elif encoding == "b64":
+            if scenarios.size > B64_CAP:
+                return {"ok": False,
+                        "error": f"result has {scenarios.size} elements "
+                                 f"(> b64 cap {B64_CAP}); pass 'out' "
+                                 "to receive an .npy path"}
+            arr = np.ascontiguousarray(scenarios, dtype=np.float32)
+            resp["scenarios_b64"] = base64.b64encode(arr.tobytes()).decode(
+                "ascii")
+            resp["dtype"] = "float32"
         elif scenarios.size <= INLINE_CAP:
             resp["scenarios"] = scenarios.tolist()
         else:
             return {"ok": False,
                     "error": f"result has {scenarios.size} elements "
-                             f"(> inline cap {INLINE_CAP}); pass 'out' "
-                             "to receive an .npy path"}
+                             f"(> inline cap {INLINE_CAP}); pass 'out' to "
+                             "receive an .npy path, or 'encoding': 'b64'"}
         return resp
 
     # -- accept loop ------------------------------------------------------------
@@ -166,6 +195,23 @@ class ScenarioServer:
         self._sock.close()
         if os.path.exists(self.socket_path):
             os.unlink(self.socket_path)
+
+
+def scenarios_array(resp: dict) -> np.ndarray:
+    """Decode a successful scenario response into an ndarray, whichever
+    inline wire encoding it used ("scenarios" float lists or
+    "scenarios_b64" raw bytes)."""
+    if not resp.get("ok"):
+        raise ValueError(f"response is not a success: {resp.get('error')!r}")
+    shape = tuple(resp["shape"])
+    if "scenarios_b64" in resp:
+        raw = base64.b64decode(resp["scenarios_b64"])
+        return np.frombuffer(raw, dtype=resp.get("dtype", "float32")).reshape(
+            shape)
+    if "scenarios" in resp:
+        return np.asarray(resp["scenarios"], dtype=np.float32).reshape(shape)
+    raise ValueError("response carries no inline scenarios "
+                     "(an 'out' .npy response? load that path instead)")
 
 
 def request(socket_path: str, req: dict, timeout: float = 600.0) -> dict:

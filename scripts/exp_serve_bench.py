@@ -89,18 +89,23 @@ def main():
             "p95": round(float(np.percentile(lats, 95)) * 1e3, 1),
         }
 
-        # 2. 100-scenario request latency (reference example shape)
-        lats = []
-        for i in range(20):
-            t = time.perf_counter()
-            r = request(SOCK, {"cond": conds[i % 100].tolist(),
-                               "n_scenarios": 100})
-            lats.append(time.perf_counter() - t)
-            assert r["ok"]
-        res["latency_ms_100scen"] = {
-            "p50": round(float(np.percentile(lats, 50)) * 1e3, 1),
-            "p95": round(float(np.percentile(lats, 95)) * 1e3, 1),
-        }
+        # 2. 100-scenario request latency (reference example shape), on
+        #    both inline wire formats: the float-list default pays ~1 µs
+        #    per float of repr on this 1-core host; b64 is two memcpy-rate
+        #    passes over the same bytes
+        for enc, key in (("list", "latency_ms_100scen"),
+                         ("b64", "latency_ms_100scen_b64")):
+            lats = []
+            for i in range(20):
+                t = time.perf_counter()
+                r = request(SOCK, {"cond": conds[i % 100].tolist(),
+                                   "n_scenarios": 100, "encoding": enc})
+                lats.append(time.perf_counter() - t)
+                assert r["ok"]
+            res[key] = {
+                "p50": round(float(np.percentile(lats, 50)) * 1e3, 1),
+                "p95": round(float(np.percentile(lats, 95)) * 1e3, 1),
+            }
 
         # 3. sustained 1000-scenario requests, .npy output
         n_req, t0 = 20, time.perf_counter()

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from prdisagg_tpu.api import PretrainedGenerator, ScenarioServer
-from prdisagg_tpu.api.server import request
+from prdisagg_tpu.api.server import request, scenarios_array
 from prdisagg_tpu.core.config import ModelConfig, TrainConfig
 from prdisagg_tpu.train import create_train_state
 
@@ -72,6 +72,60 @@ def test_server_batch_and_npy_out(served, tmp_path):
     np.testing.assert_allclose(
         scen.sum(axis=2), np.broadcast_to(conds[:, None], (2, 4, 16, 16)),
         rtol=1e-3)
+
+
+def test_server_b64_encoding_bit_exact(tmp_path):
+    """'encoding': 'b64' carries the generator's f32 output VERBATIM (raw
+    bytes, no decimal round-trip): the decode equals a direct-API replay of
+    the same key chain bit for bit."""
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    server = ScenarioServer(
+        PretrainedGenerator(state.gen_params, TINY, seed=5),
+        str(tmp_path / "b.sock"))
+    try:
+        cond = np.linspace(1.0, 30.0, 256, dtype=np.float32).reshape(16, 16)
+        resp = server.handle_request(
+            {"cond": cond.tolist(), "n_scenarios": 2, "encoding": "b64"})
+        assert resp["ok"] and resp["dtype"] == "float32"
+        got = scenarios_array(resp)
+        ref = PretrainedGenerator(state.gen_params, TINY, seed=5)
+        want = ref.generate_scenarios(cond, 2).astype(np.float32)
+        np.testing.assert_array_equal(got, want)
+    finally:
+        server.close()
+
+
+def test_server_b64_over_list_cap_through_socket(served):
+    """A result over the float-list INLINE_CAP still serves inline under
+    b64, and conservation survives the binary round-trip."""
+    sock, _ = served
+    cond = np.linspace(1.0, 30.0, 256, dtype=np.float32).reshape(16, 16)
+    big = request(sock, {"cond": cond.tolist(), "n_scenarios": 400,
+                         "encoding": "b64"})
+    assert big["ok"] and scenarios_array(big).shape == (400, 24, 16, 16)
+    np.testing.assert_allclose(
+        scenarios_array(big).sum(axis=1),
+        np.broadcast_to(cond, (400, 16, 16)), rtol=1e-3)
+
+
+def test_server_b64_errors(served, monkeypatch):
+    sock, _ = served
+    cond16 = np.ones((16, 16), dtype=np.float32)
+    bad = request(sock, {"cond": cond16.tolist(), "n_scenarios": 1,
+                         "encoding": "raw"})
+    assert not bad["ok"] and "encoding" in bad["error"]
+    # over the b64 cap -> refused with 'out' guidance (cap shrunk so the
+    # test doesn't have to build a 134 MB response)
+    import prdisagg_tpu.api.server as server_mod
+
+    monkeypatch.setattr(server_mod, "B64_CAP", 1000)
+    capped = request(sock, {"cond": cond16.tolist(), "n_scenarios": 1,
+                            "encoding": "b64"})
+    assert not capped["ok"] and "out" in capped["error"]
+    with pytest.raises(ValueError, match="not a success"):
+        scenarios_array(bad)
+    with pytest.raises(ValueError, match="no inline scenarios"):
+        scenarios_array({"ok": True, "shape": [1], "out": "x.npy"})
 
 
 def test_server_errors_do_not_kill_it(served):
