@@ -6,8 +6,10 @@ import, the `.h5` load, and a fresh predict graph.  Production serving on
 a TPU chip wants the opposite — ONE resident process owning the device,
 weights pinned in HBM (api/pretrained.py device_put), the forward traced
 once — with cheap clients.  This module provides that: newline-delimited
-JSON over a Unix socket, requests served sequentially (one chip = one
-compute queue; concurrent clients simply wait on the accept backlog).
+JSON over a Unix socket.  Connections are handled in threads; compute is
+serialized behind one lock (one chip = one compute queue) but client I/O
+is not, so a stalled or slow-reading client never blocks other clients —
+only its own connection (which times out after 60 s).
 
 Protocol — one JSON object per line, one JSON response line per request:
 
@@ -44,6 +46,7 @@ import base64
 import json
 import os
 import socket
+import threading
 import time
 from typing import Optional
 
@@ -71,6 +74,12 @@ class ScenarioServer:
         self._sock.bind(socket_path)
         self._sock.listen(backlog)
         self._shutdown = False
+        # one chip = one compute queue: requests execute one at a time (the
+        # generator's key chain is a read-modify-write too), but each
+        # CONNECTION gets its own thread so a stalled client's socket
+        # timeout never blocks other clients
+        self._compute_lock = threading.Lock()
+        self._served = 0  # mutated under _compute_lock only
 
     # -- request handling ------------------------------------------------------
     def handle_request(self, req: dict) -> dict:
@@ -155,41 +164,65 @@ class ScenarioServer:
         return resp
 
     # -- accept loop ------------------------------------------------------------
+    def _handle_connection(self, conn, max_requests: Optional[int]) -> None:
+        try:
+            rfile = conn.makefile("rb")
+            for line in rfile:
+                line = line.strip()
+                if not line:
+                    continue
+                # compute + the generator key chain are single-file; the
+                # sendall below is NOT, so a slow reader only delays itself
+                with self._compute_lock:
+                    if self._shutdown or (
+                            max_requests is not None
+                            and self._served >= max_requests):
+                        break
+                    try:
+                        resp = self.handle_request(json.loads(line))
+                    except Exception as err:  # noqa: BLE001 — serve on
+                        resp = {"ok": False,
+                                "error": f"{type(err).__name__}: {err}"}
+                    beat_if_enabled()
+                    self._served += 1
+                conn.sendall(json.dumps(resp).encode() + b"\n")
+                if self._shutdown or (max_requests is not None
+                                      and self._served >= max_requests):
+                    break
+        except (socket.timeout, BrokenPipeError, ConnectionError):
+            pass  # that client is gone; keep serving others
+        finally:
+            conn.close()
+
     def serve_forever(self, max_requests: Optional[int] = None) -> int:
-        """Accept connections until a shutdown request (or max_requests,
-        for tests).  Returns the number of requests served."""
-        served = 0
+        """Accept connections until a shutdown request (or max_requests
+        total responses, for tests/smoke runs).  Each connection runs in
+        its own thread.  Returns the number of requests served."""
+        threads = []
+        self._sock.settimeout(1.0)  # poll for shutdown set by a handler
         try:
             while not self._shutdown:
-                if max_requests is not None and served >= max_requests:
+                if max_requests is not None and self._served >= max_requests:
                     break
-                conn, _ = self._sock.accept()
-                # a stalled client must not wedge the server
-                conn.settimeout(60.0)
                 try:
-                    rfile = conn.makefile("rb")
-                    for line in rfile:
-                        line = line.strip()
-                        if not line:
-                            continue
-                        try:
-                            resp = self.handle_request(json.loads(line))
-                        except Exception as err:  # noqa: BLE001 — serve on
-                            resp = {"ok": False,
-                                    "error": f"{type(err).__name__}: {err}"}
-                        conn.sendall(json.dumps(resp).encode() + b"\n")
-                        served += 1
-                        beat_if_enabled()
-                        if self._shutdown or (max_requests is not None
-                                              and served >= max_requests):
-                            break
-                except (socket.timeout, BrokenPipeError, ConnectionError):
-                    pass  # that client is gone; keep serving others
-                finally:
-                    conn.close()
+                    conn, _ = self._sock.accept()
+                except socket.timeout:
+                    continue
+                except OSError:
+                    break  # listener closed under us
+                # a stalled client must not wedge its handler forever
+                conn.settimeout(60.0)
+                t = threading.Thread(
+                    target=self._handle_connection,
+                    args=(conn, max_requests), daemon=True)
+                t.start()
+                threads = [x for x in threads if x.is_alive()]
+                threads.append(t)
         finally:
+            for t in threads:
+                t.join(timeout=120)
             self.close()
-        return served
+        return self._served
 
     def close(self) -> None:
         self._sock.close()

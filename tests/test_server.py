@@ -143,6 +143,47 @@ def test_server_errors_do_not_kill_it(served):
     assert request(sock, {"cmd": "ping"})["ok"]
 
 
+def test_stalled_client_does_not_block_others(served):
+    """A connected-but-silent client must not serialize the service: other
+    clients' requests are answered while it idles (connections are handled
+    in threads; only compute is single-file)."""
+    import socket as socketlib
+    import time
+
+    sock, _ = served
+    stalled = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+    stalled.connect(sock)  # sends nothing — pre-threading this held the
+    try:                   # accept loop for the full 60 s client timeout
+        t0 = time.perf_counter()
+        assert request(sock, {"cmd": "ping"}, timeout=30)["ok"]
+        assert time.perf_counter() - t0 < 20.0
+    finally:
+        stalled.close()
+
+
+def test_concurrent_clients_all_served(served):
+    """Parallel clients each get a correct, whole response (per-connection
+    threads share one compute lock and one generator key chain)."""
+    import concurrent.futures
+
+    sock, _ = served
+    cond = np.full((16, 16), 7.0, np.float32)
+
+    def one(i):
+        r = request(sock, {"cond": cond.tolist(), "n_scenarios": 2,
+                           "encoding": "b64"}, timeout=120)
+        assert r["ok"], r
+        a = scenarios_array(r)
+        np.testing.assert_allclose(
+            a.sum(axis=1), np.broadcast_to(cond, a.sum(axis=1).shape),
+            rtol=1e-3)
+        return a
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(one, range(4)))
+    assert len(outs) == 4 and all(o.shape == (2, 24, 16, 16) for o in outs)
+
+
 def test_server_shutdown_last(served):
     sock, _ = served
     assert request(sock, {"cmd": "shutdown"})["ok"]
