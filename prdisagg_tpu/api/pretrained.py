@@ -138,6 +138,38 @@ class PretrainedGenerator:
     def save_npz(self, path: str) -> None:
         save_params_npz(path, self.params)
 
+    # -- warmup ----------------------------------------------------------------
+    def warm(self, batch_sizes=("max",)) -> float:
+        """Compile (or load from the persistent cache) the jitted forward
+        for the given request sizes BEFORE serving traffic.
+
+        Each entry is ``"max"`` — the `max_batch` chunk shape, which every
+        over-cap request chunks into (`predict_fractions`) — or an int n,
+        warmed at the exact device shape a size-n request runs (rounded up
+        to the mesh quantum, capped at `max_batch`).  Without this, the
+        first request of each new shape pays the compile mid-request: cold
+        remote compiles through the tunneled TPU run 30 s-10 min
+        (docs/PERF.md), which a serving SLA cannot absorb.  Returns the
+        total warm seconds.  Uses throwaway zero inputs; the generator's
+        key chain is not consumed."""
+        import time
+
+        quantum = self.mesh.size if self.mesh is not None else 1
+        targets = []
+        for b in batch_sizes:
+            n = self.max_batch if b == "max" else min(int(b), self.max_batch)
+            targets.append(max(1, -(-n // quantum) * quantum))
+        t0 = time.perf_counter()
+        for n in sorted(set(targets)):
+            lat = jnp.zeros((n, self.cfg.latent_dim), jnp.float32)
+            cnd = jnp.zeros(
+                (n, self.cfg.ndomain, self.cfg.ndomain, 1), jnp.float32)
+            out = self._device_forward(lat, cnd)
+            # fetch one dependent scalar: on the tunneled platform
+            # block_until_ready returns before execution finishes
+            np.asarray(out[0, 0, 0, 0, 0])
+        return time.perf_counter() - t0
+
     # -- inference ------------------------------------------------------------
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)

@@ -385,6 +385,12 @@ def cmd_serve(args):
     from prdisagg_tpu.api import ScenarioServer
 
     gen = _load_generator(args, seed=args.seed, max_batch=args.max_batch)
+    if args.warm and args.warm != "none":
+        sizes = [s if s == "max" else int(s)
+                 for s in args.warm.split(",") if s]
+        secs = gen.warm(sizes)
+        print(f"warmed forward for batch sizes {args.warm} in {secs:.1f}s",
+              flush=True)
     server = ScenarioServer(gen, args.socket_path)
     print(f"serving {args.weights} (ndomain={gen.cfg.ndomain}) "
           f"on {args.socket_path}", flush=True)
@@ -654,6 +660,12 @@ def build_parser():
                           "measured domain-scaled ceiling)")
     srv.add_argument("--max-requests", type=int, default=None,
                      help="exit after N requests (smoke/testing)")
+    srv.add_argument("--warm", default="max",
+                     help="comma list of request sizes to compile before "
+                          "binding the socket ('max' = the max-batch chunk "
+                          "shape every large request runs as; 'none' to "
+                          "skip).  A cold remote compile mid-request costs "
+                          "30s-10min; warming moves it to startup")
     srv.add_argument("--dp", type=int, default=0,
                      help="shard every request's scenario batch over the "
                           "first N devices (data-parallel serving)")

@@ -222,6 +222,24 @@ def test_generate_scenarios_semantics():
     assert not np.allclose(scen[0], scen[1])
 
 
+def test_warm_compiles_without_consuming_the_key_chain():
+    """warm() pre-compiles request shapes ('max' = the max_batch chunk
+    shape, ints at their rounded device shape) on throwaway inputs: a
+    warmed generator replays the exact same scenarios as an unwarmed one
+    with the same seed (the key chain is untouched)."""
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=9))
+    warmed = PretrainedGenerator(state.gen_params, TINY, seed=13,
+                                 max_batch=8)
+    secs = warmed.warm(("max", 3))
+    assert secs >= 0.0
+    plain = PretrainedGenerator(state.gen_params, TINY, seed=13, max_batch=8)
+    cond = 10.0 * np.ones((16, 16, 1), dtype=np.float32)
+    np.testing.assert_array_equal(
+        warmed.generate_scenarios(cond, 3), plain.generate_scenarios(cond, 3))
+    # capped: an over-max entry warms the chunk shape, not a bigger one
+    assert warmed.warm((10_000,)) >= 0.0
+
+
 def test_generate_scenarios_nonuniform_cond_conserves():
     state, _, _ = create_train_state(TINY, TrainConfig())
     pg = PretrainedGenerator(state.gen_params, TINY)

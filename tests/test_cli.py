@@ -212,6 +212,50 @@ def test_cli_generate_single_and_batch(tmp_path):
         atol=1e-4)
 
 
+def test_cli_serve_warms_then_serves(tmp_path):
+    """cli serve pre-compiles the requested shapes (--warm) before binding
+    the socket, then answers requests; warming does not perturb the served
+    scenarios (same seed => same key chain as an unwarmed generator)."""
+    import threading
+    import time
+
+    from prdisagg_tpu.api import PretrainedGenerator
+    from prdisagg_tpu.api.server import request
+    from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+    from prdisagg_tpu.models.io import save_params_npz
+    from prdisagg_tpu.train import create_train_state
+
+    tiny = ModelConfig(ndomain=16, latent_dim=8, gen_channels=(8, 8, 8),
+                       base_channels=8, critic_channels=(8, 8, 8, 8))
+    state, _, _ = create_train_state(tiny, TrainConfig(seed=9))
+    wpath = str(tmp_path / "gen.npz")
+    save_params_npz(wpath, state.gen_params)
+    sock = str(tmp_path / "s.sock")
+
+    thread = threading.Thread(
+        target=main,
+        args=(["serve", "--weights", wpath, "--socket", sock,
+               "--seed", "21", "--max-batch", "8", "--warm", "max,2",
+               "--max-requests", "2"],),
+        daemon=True)
+    thread.start()
+    deadline = time.time() + 120
+    while time.time() < deadline and not os.path.exists(sock):
+        time.sleep(0.1)
+    cond = 10.0 * np.ones((16, 16), dtype=np.float32)
+    resp = request(sock, {"cond": cond.tolist(), "n_scenarios": 2},
+                   timeout=120)
+    assert resp["ok"] and resp["shape"] == [2, 24, 16, 16]
+    got = np.asarray(resp["scenarios"], dtype=np.float32)
+    # same loader as the CLI (f32 inference config inferred from the npz)
+    want = PretrainedGenerator.from_npz(
+        wpath, seed=21, max_batch=8).generate_scenarios(cond, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    request(sock, {"cmd": "shutdown"}, timeout=30)
+    thread.join(timeout=60)
+    assert not thread.is_alive()
+
+
 def test_cli_lsd(tmp_path):
     rng = np.random.RandomState(7)
     real = rng.gamma(2.0, 1.0, size=(6, 24, 16, 16)).astype(np.float32)
