@@ -31,6 +31,18 @@ from prdisagg_tpu.models.io import (
 NORM_SCALE = 127.4
 
 
+def _bucket(n: int) -> int:
+    """Smallest b >= n with b in {2^k, 1.5*2^k}: bounds the set of
+    compiled batch shapes; padding stays under 50% (worst case is just
+    above a power of two: 2^k + 1 -> 1.5 * 2^k)."""
+    p = 1
+    while p < n:
+        p <<= 1
+    if p > 1 and 3 * p // 4 >= n:
+        return 3 * p // 4
+    return p
+
+
 @partial(jax.jit, static_argnames=("gen",))
 def _apply_generator(gen, params, latent, cond):
     """Shared jitted forward for every PretrainedGenerator instance.
@@ -275,6 +287,62 @@ class PretrainedGenerator:
             self.predict_fractions(latent, cond_batch)).squeeze(-1)
         fractions = fractions.reshape(k, n_scenarios, *fractions.shape[1:])
         return fractions * conds.squeeze(-1)[:, None, None]
+
+    def generate_scenarios_multi(
+        self, conds: list, n_list: list,
+    ) -> list:
+        """Serve HETEROGENEOUS requests in one fused forward.
+
+        conds: list of daily-sum maps, each (nd, nd) or (nd, nd, 1) in mm;
+        n_list: per-request scenario counts.  Returns a list of
+        (n_i, nhours, nd, nd) arrays — request i's scenarios.
+
+        This is the device side of the serving daemon's dynamic
+        micro-batching: K concurrent small requests cost one dispatch
+        (~10 ms through the tunnel each if served one at a time,
+        docs/PERF.md) and fill the chip's batch dimension.  One latent
+        draw of (sum n_i, latent_dim) covers the fused batch, so each
+        request still gets independent N(0,1) latents, but the exact
+        values depend on how requests were batched together (unlike the
+        sequential per-request key chain).
+
+        Fused totals under `max_batch` are zero-padded up to a bucket size
+        in {2^k, 1.5*2^k} (< 50% padding): arbitrary request mixes would
+        otherwise each compile their own forward shape — 30 s-10 min per
+        shape through the tunnel — where the bucket set is ~2 log2(
+        max_batch) shapes total.  Padded rows are sliced off; per-sample
+        outputs don't depend on batch-dim padding."""
+        if len(conds) != len(n_list) or not conds:
+            raise ValueError("conds and n_list must be equal-length and "
+                             "non-empty")
+        norm, counts = [], []
+        for cond, n in zip(conds, n_list):
+            cond = np.asarray(cond, dtype=np.float32)
+            if cond.ndim == 2:
+                cond = cond[..., None]
+            norm.append(cond / self.norm_scale)
+            counts.append(int(n))
+        total = sum(counts)
+        latent = np.asarray(jax.random.normal(
+            self._next_key(), (total, self.cfg.latent_dim)))
+        cond_batch = np.repeat(np.stack(norm), counts, axis=0)
+        target = min(_bucket(total), self.max_batch)
+        if target > total:  # pad to the bucket shape; sliced off below
+            latent = np.concatenate(
+                [latent, np.zeros((target - total, latent.shape[1]),
+                                  latent.dtype)])
+            cond_batch = np.concatenate(
+                [cond_batch, np.zeros((target - total,
+                                       *cond_batch.shape[1:]),
+                                      cond_batch.dtype)])
+        fractions = np.asarray(self.predict_fractions(
+            jnp.asarray(latent), jnp.asarray(cond_batch)))[:total].squeeze(-1)
+        outs, i0 = [], 0
+        for cn, n in zip(norm, counts):
+            outs.append(fractions[i0:i0 + n]
+                        * cn.squeeze(-1)[None, None] * self.norm_scale)
+            i0 += n
+        return outs
 
     def plot_scenarios(self, scenarios: np.ndarray,
                        hour_labels: str = "reference"):

@@ -38,6 +38,15 @@ against ~6 ms of device time).  `"encoding": "b64"` returns the same f32
 array as base64 of its C-order bytes instead (decode with
 `scenarios_array(resp)`), turning the encode into two memcpy-rate passes.
 A request error never kills the server: {"ok": false, "error": "..."}.
+
+Dynamic micro-batching (`batch_window_ms` > 0 / `cli serve
+--batch-window-ms`): concurrent scenario requests arriving within the
+window fuse into ONE device forward (generate_scenarios_multi), the
+classic TPU-serving trade — a little queueing latency for a full batch
+dimension; per-dispatch overhead through the tunneled chip is ~10 ms
+(docs/PERF.md), so K concurrent 1-scenario clients pay one dispatch
+instead of K.  Off by default: the unbatched path replays the exact
+sequential per-request key chain.
 """
 
 from __future__ import annotations
@@ -62,10 +71,41 @@ INLINE_CAP = 2_000_000
 B64_CAP = 1 << 25
 
 
-class ScenarioServer:
-    """Serve a PretrainedGenerator over a Unix socket until shutdown."""
+class _Pending:
+    """One scenario request waiting in the micro-batch queue."""
 
-    def __init__(self, generator, socket_path: str, backlog: int = 8):
+    __slots__ = ("cond", "n", "is_stack", "event", "scenarios", "error",
+                 "seconds")
+
+    def __init__(self, cond, n, is_stack):
+        self.cond = cond
+        self.n = n
+        self.is_stack = is_stack
+        self.event = threading.Event()
+        self.scenarios = None
+        self.error = None
+        self.seconds = 0.0
+
+    @property
+    def samples(self) -> int:
+        return (self.cond.shape[0] if self.is_stack else 1) * self.n
+
+
+class ScenarioServer:
+    """Serve a PretrainedGenerator over a Unix socket until shutdown.
+
+    `batch_window_ms` > 0 turns on dynamic micro-batching: concurrent
+    scenario requests that arrive within the window (counted from the
+    first waiting request) fuse into ONE device forward
+    (`generate_scenarios_multi`), so K concurrent small clients cost one
+    ~10 ms tunnel dispatch instead of K.  Collection stops early once the
+    fused batch reaches `max_batch` samples.  Each request still gets
+    independent N(0,1) latents, but the exact values depend on which
+    requests were batched together — with the window at 0 (default) the
+    daemon keeps the sequential per-request key chain exactly."""
+
+    def __init__(self, generator, socket_path: str, backlog: int = 8,
+                 batch_window_ms: float = 0.0):
         self.generator = generator
         self.socket_path = socket_path
         if os.path.exists(socket_path):
@@ -80,6 +120,17 @@ class ScenarioServer:
         # timeout never blocks other clients
         self._compute_lock = threading.Lock()
         self._served = 0  # mutated under _compute_lock only
+        self._batch_window = batch_window_ms / 1e3
+        self._queue = None
+        self._batcher = None
+        self.fused_batches = 0  # batches run by the batcher thread
+        if self._batch_window > 0:
+            import queue as _queue
+
+            self._queue = _queue.Queue()
+            self._batcher = threading.Thread(
+                target=self._batcher_loop, daemon=True)
+            self._batcher.start()
 
     # -- request handling ------------------------------------------------------
     def handle_request(self, req: dict) -> dict:
@@ -93,6 +144,9 @@ class ScenarioServer:
                 "latent_dim": cfg.latent_dim,
                 "compute_dtype": cfg.compute_dtype,
                 "max_batch": self.generator.max_batch,
+                "batch_window_ms": self._batch_window * 1e3,
+                "fused_batches": self.fused_batches,
+                "served": self._served,
             }
         if cmd == "shutdown":
             self._shutdown = True
@@ -100,6 +154,23 @@ class ScenarioServer:
         if cmd is not None:
             return {"ok": False, "error": f"unknown cmd {cmd!r}"}
 
+        parsed = self._parse_scenario(req)
+        if isinstance(parsed, dict):
+            return parsed
+        cond, n, is_stack, encoding, out = parsed
+        t0 = time.perf_counter()
+        if is_stack:  # (K, nd, nd)[, 1] stack -> one fused batch
+            scenarios = self.generator.generate_scenarios_batch(cond, n)
+        else:
+            scenarios = self.generator.generate_scenarios(cond, n)
+        return self._encode_response(
+            scenarios, encoding, out, time.perf_counter() - t0)
+
+    def _parse_scenario(self, req):
+        """Validate a scenario request.  Returns (cond, n, is_stack,
+        encoding, out), or an error-response dict.  Runs in the handler
+        thread so bad input (and cond_npy disk I/O) never reaches the
+        compute path."""
         if "cond_npy" in req:
             cond = np.load(req["cond_npy"])
         elif "cond" in req:
@@ -115,27 +186,21 @@ class ScenarioServer:
             return {"ok": False,
                     "error": f"unknown encoding {encoding!r} "
                              "(expected 'list' or 'b64')"}
-
         nd = self.generator.cfg.ndomain
         is_map = cond.shape[:2] == (nd, nd) and (
             cond.ndim == 2 or (cond.ndim == 3 and cond.shape[2] == 1))
         is_stack = (cond.ndim == 3 and cond.shape[1:] == (nd, nd)) or (
             cond.ndim == 4 and cond.shape[1:] == (nd, nd, 1))
-        t0 = time.perf_counter()
-        if is_map:
-            scenarios = self.generator.generate_scenarios(cond, n)
-        elif is_stack:  # (K, nd, nd)[, 1] stack -> one fused batch
-            scenarios = self.generator.generate_scenarios_batch(cond, n)
-        else:
+        if not (is_map or is_stack):
             return {"ok": False,
                     "error": f"cond shape {cond.shape} is neither one "
                              f"({nd}, {nd})[, 1] map nor a "
                              f"(K, {nd}, {nd})[, 1] stack"}
-        seconds = time.perf_counter() - t0
+        return cond, n, is_stack, encoding, req.get("out")
 
+    def _encode_response(self, scenarios, encoding, out, seconds) -> dict:
         resp = {"ok": True, "shape": list(scenarios.shape),
                 "seconds": round(seconds, 4)}
-        out = req.get("out")
         if out:
             # atomic like the weight exports: a client killed mid-response
             # must never leave a truncated .npy behind
@@ -163,6 +228,92 @@ class ScenarioServer:
                              "receive an .npy path, or 'encoding': 'b64'"}
         return resp
 
+    # -- micro-batching ----------------------------------------------------------
+    def _submit_batched(self, req: dict) -> dict:
+        """Parse in this handler thread, enqueue for the batcher thread,
+        wait, then encode here (disk I/O and JSON/b64 encode stay off the
+        compute path and overlap across clients)."""
+        parsed = self._parse_scenario(req)
+        if isinstance(parsed, dict):
+            return parsed
+        cond, n, is_stack, encoding, out = parsed
+        item = _Pending(cond, n, is_stack)
+        self._queue.put(item)
+        if not item.event.wait(timeout=600.0):
+            return {"ok": False, "error": "batched compute timed out"}
+        if item.error is not None:
+            return {"ok": False, "error": item.error}
+        return self._encode_response(item.scenarios, encoding, out,
+                                     item.seconds)
+
+    def _batcher_loop(self) -> None:
+        """Single compute thread: collect requests for up to the batch
+        window (from the first waiting request) or until `max_batch`
+        samples, then run them as ONE fused forward.  Exits on the None
+        sentinel; keeps draining queued requests after shutdown so no
+        waiting client is orphaned."""
+        import queue as _queue
+
+        while True:
+            try:
+                first = self._queue.get(timeout=0.2)
+            except _queue.Empty:
+                if self._shutdown:
+                    return
+                continue
+            if first is None:
+                return
+            batch, total = [first], first.samples
+            deadline = time.perf_counter() + self._batch_window
+            stop = False
+            while total < self.generator.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except _queue.Empty:
+                    break
+                if item is None:
+                    stop = True
+                    break
+                batch.append(item)
+                total += item.samples
+            self._run_batch(batch)
+            beat_if_enabled()
+            if stop:
+                return
+
+    def _run_batch(self, batch: list) -> None:
+        conds, ns, spans = [], [], []
+        for item in batch:
+            if item.is_stack:
+                for row in item.cond:  # each stack row is its own cond
+                    conds.append(row)
+                    ns.append(item.n)
+                spans.append(item.cond.shape[0])
+            else:
+                conds.append(item.cond)
+                ns.append(item.n)
+                spans.append(1)
+        t0 = time.perf_counter()
+        try:
+            outs = self.generator.generate_scenarios_multi(conds, ns)
+        except Exception as err:  # noqa: BLE001 — fail the batch, serve on
+            for item in batch:
+                item.error = f"{type(err).__name__}: {err}"
+                item.event.set()
+            return
+        seconds = time.perf_counter() - t0
+        self.fused_batches += 1
+        j = 0
+        for item, k in zip(batch, spans):
+            item.scenarios = (np.stack(outs[j:j + k]) if item.is_stack
+                              else outs[j])
+            item.seconds = seconds
+            j += k
+            item.event.set()
+
     # -- accept loop ------------------------------------------------------------
     def _handle_connection(self, conn, max_requests: Optional[int]) -> None:
         try:
@@ -171,18 +322,34 @@ class ScenarioServer:
                 line = line.strip()
                 if not line:
                     continue
-                # compute + the generator key chain are single-file; the
-                # sendall below is NOT, so a slow reader only delays itself
                 with self._compute_lock:
-                    if self._shutdown or (
-                            max_requests is not None
-                            and self._served >= max_requests):
-                        break
+                    stop = self._shutdown or (
+                        max_requests is not None
+                        and self._served >= max_requests)
+                if stop:
+                    break
+                try:
+                    req = json.loads(line)
+                except Exception as err:  # noqa: BLE001 — serve on
+                    req = None
+                    resp = {"ok": False,
+                            "error": f"{type(err).__name__}: {err}"}
+                if req is not None:
                     try:
-                        resp = self.handle_request(json.loads(line))
+                        if self._queue is not None and "cmd" not in req:
+                            # micro-batched: compute runs in the batcher
+                            # thread; this thread parses, waits, encodes
+                            resp = self._submit_batched(req)
+                        else:
+                            # compute + the generator key chain are
+                            # single-file; the sendall below is NOT, so a
+                            # slow reader only delays itself
+                            with self._compute_lock:
+                                resp = self.handle_request(req)
                     except Exception as err:  # noqa: BLE001 — serve on
                         resp = {"ok": False,
                                 "error": f"{type(err).__name__}: {err}"}
+                with self._compute_lock:
                     beat_if_enabled()
                     self._served += 1
                 conn.sendall(json.dumps(resp).encode() + b"\n")
@@ -219,8 +386,21 @@ class ScenarioServer:
                 threads = [x for x in threads if x.is_alive()]
                 threads.append(t)
         finally:
+            # handler threads first: the batcher keeps draining queued
+            # requests after shutdown, so waiting handlers still complete
             for t in threads:
                 t.join(timeout=120)
+            if self._queue is not None:
+                self._queue.put(None)  # sentinel: batcher exits when reached
+                self._batcher.join(timeout=120)
+                while True:  # orphan anything enqueued after the sentinel
+                    try:
+                        item = self._queue.get_nowait()
+                    except Exception:  # noqa: BLE001 — queue.Empty
+                        break
+                    if isinstance(item, _Pending):
+                        item.error = "server shut down"
+                        item.event.set()
             self.close()
         return self._served
 

@@ -391,7 +391,8 @@ def cmd_serve(args):
         secs = gen.warm(sizes)
         print(f"warmed forward for batch sizes {args.warm} in {secs:.1f}s",
               flush=True)
-    server = ScenarioServer(gen, args.socket_path)
+    server = ScenarioServer(gen, args.socket_path,
+                            batch_window_ms=args.batch_window_ms)
     print(f"serving {args.weights} (ndomain={gen.cfg.ndomain}) "
           f"on {args.socket_path}", flush=True)
     served = server.serve_forever(max_requests=args.max_requests)
@@ -660,6 +661,12 @@ def build_parser():
                           "measured domain-scaled ceiling)")
     srv.add_argument("--max-requests", type=int, default=None,
                      help="exit after N requests (smoke/testing)")
+    srv.add_argument("--batch-window-ms", type=float, default=0.0,
+                     help="dynamic micro-batching: fuse concurrent scenario "
+                          "requests arriving within this window into ONE "
+                          "device forward (0 = off, keeping the sequential "
+                          "per-request key chain exactly; each request "
+                          "still gets independent latents when on)")
     srv.add_argument("--warm", default="max",
                      help="comma list of request sizes to compile before "
                           "binding the socket ('max' = the max-batch chunk "

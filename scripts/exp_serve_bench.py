@@ -51,13 +51,18 @@ def wait_ready(timeout=1800):
 
 
 def main():
-    weights = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_W
+    argv = [a for a in sys.argv[1:] if a != "--smoke"]
+    smoke = "--smoke" in sys.argv[1:]  # tiny counts: validate the script
+    weights = argv[0] if argv else DEFAULT_W
+    n_lat1, n_lat100, n_sus, n_conds, n_scen = (
+        (5, 3, 3, 5, 10) if smoke else (50, 20, 20, 100, 100))
     from prdisagg_tpu.api.server import request
 
+    log = open("/tmp/serve_bench_daemon.log", "wb")
     srv = subprocess.Popen(
         [sys.executable, "-m", "prdisagg_tpu.cli", "serve",
          "--weights", weights, "--socket", SOCK],
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        stdout=log, stderr=subprocess.STDOUT,
     )
     res = {"weights": os.path.basename(weights)}
     try:
@@ -69,16 +74,17 @@ def main():
         conds = np.abs(rng.rand(100, 16, 16)).astype(np.float32) * 20.0
         cond1 = conds[0].tolist()
 
+        n_big = 50 if smoke else 1000
         # warm every forward shape used below (trace/compile once)
         os.makedirs("/tmp/serve_bench_out", exist_ok=True)
-        for ns in (1, 100):
+        for ns in (1, n_scen):
             assert request(SOCK, {"cond": cond1, "n_scenarios": ns})["ok"]
-        assert request(SOCK, {"cond": cond1, "n_scenarios": 1000,
+        assert request(SOCK, {"cond": cond1, "n_scenarios": n_big,
                               "out": "/tmp/serve_bench_out/w.npy"})["ok"]
 
-        # 1. single-scenario latency, 50 sequential requests
+        # 1. single-scenario latency, sequential requests
         lats = []
-        for i in range(50):
+        for i in range(n_lat1):
             t = time.perf_counter()
             r = request(SOCK, {"cond": conds[i % 100].tolist(),
                                "n_scenarios": 1})
@@ -96,10 +102,10 @@ def main():
         for enc, key in (("list", "latency_ms_100scen"),
                          ("b64", "latency_ms_100scen_b64")):
             lats = []
-            for i in range(20):
+            for i in range(n_lat100):
                 t = time.perf_counter()
                 r = request(SOCK, {"cond": conds[i % 100].tolist(),
-                                   "n_scenarios": 100, "encoding": enc})
+                                   "n_scenarios": n_scen, "encoding": enc})
                 lats.append(time.perf_counter() - t)
                 assert r["ok"]
             res[key] = {
@@ -108,48 +114,129 @@ def main():
             }
 
         # 3. sustained 1000-scenario requests, .npy output
-        n_req, t0 = 20, time.perf_counter()
-        for i in range(n_req):
+        t0 = time.perf_counter()
+        for i in range(n_sus):
             r = request(SOCK, {"cond": conds[i % 100].tolist(),
-                               "n_scenarios": 1000,
+                               "n_scenarios": n_big,
                                "out": f"/tmp/serve_bench_out/{i}.npy"})
             assert r["ok"]
         dt = time.perf_counter() - t0
         res["sustained_1000scen"] = {
-            "requests_per_sec": round(n_req / dt, 2),
-            "scenarios_per_sec": round(n_req * 1000 / dt, 0),
+            "requests_per_sec": round(n_sus / dt, 2),
+            "scenarios_per_sec": round(n_sus * n_big / dt, 0),
         }
 
-        # 4. batched: 100 conds x 100 scenarios as ONE fused request
-        np.save("/tmp/serve_bench_out/conds.npy", conds)
-        t0 = time.perf_counter()
-        r = request(SOCK, {"cond_npy": "/tmp/serve_bench_out/conds.npy",
-                           "n_scenarios": 100,
-                           "out": "/tmp/serve_bench_out/batch.npy"})
-        dt = time.perf_counter() - t0
-        assert r["ok"], r
-        res["batched_100x100"] = {
-            "seconds": round(dt, 2),
-            "scenarios_per_sec": round(100 * 100 / dt, 0),
-            "shape": r["shape"],
-        }
+        # 4. batched: 100 conds x 100 scenarios as ONE fused request,
+        #    twice — the daemon pre-warms its max_batch chunk shape at
+        #    startup, so both passes should be pure device + fetch; a
+        #    first/repeat gap means something still compiled lazily
+        np.save("/tmp/serve_bench_out/conds.npy", conds[:n_conds])
+        for key in ("batched_100x100", "batched_100x100_repeat"):
+            t0 = time.perf_counter()
+            r = request(SOCK, {"cond_npy": "/tmp/serve_bench_out/conds.npy",
+                               "n_scenarios": n_scen,
+                               "out": "/tmp/serve_bench_out/batch.npy"})
+            dt = time.perf_counter() - t0
+            assert r["ok"], r
+            res[key] = {
+                "seconds": round(dt, 2),
+                "scenarios_per_sec": round(n_conds * n_scen / dt, 0),
+                "shape": r["shape"],
+            }
 
         # conservation through the whole stack (client-side check)
         out = np.load("/tmp/serve_bench_out/batch.npy")
         daily = out.sum(axis=2)  # (K, S, nd, nd) mm summed over hours
-        err = float(np.abs(daily - conds[:, None]).max())
+        err = float(np.abs(daily - conds[:n_conds, None]).max())
         res["max_abs_conservation_err_mm"] = err
 
         request(SOCK, {"cmd": "shutdown"})
         srv.wait(timeout=60)
+        log.flush()
+        with open("/tmp/serve_bench_daemon.log") as fh:
+            for ln in fh:
+                if ln.startswith("warmed forward"):
+                    res["daemon_warm_line"] = ln.strip()
     finally:
+        log.close()
         if srv.poll() is None:
             srv.terminate()
             try:
                 srv.wait(timeout=30)
             except subprocess.TimeoutExpired:
                 srv.kill()
+
+    # 5. concurrent 1-scenario clients, micro-batching OFF vs ON — the
+    #    daemon relaunches per mode (the window is a server-level setting;
+    #    OFF keeps the sequential key chain, ON fuses concurrent requests
+    #    into one forward, trading ~window of queueing for one dispatch)
+    n_threads, n_each = (4, 3) if smoke else (16, 25)
+    for window, key in ((0.0, "concurrent_1scen_unbatched"),
+                        (8.0, "concurrent_1scen_window8ms")):
+        res[key] = _concurrency_stage(weights, window, n_threads, n_each)
     print(json.dumps(res, indent=1))
+
+
+def _concurrency_stage(weights, window_ms, n_threads, n_each):
+    import concurrent.futures
+
+    from prdisagg_tpu.api.server import request
+
+    sock = SOCK + ".conc"
+    with open("/tmp/serve_bench_conc.log", "wb") as log:
+        srv = subprocess.Popen(
+            [sys.executable, "-m", "prdisagg_tpu.cli", "serve",
+             "--weights", weights, "--socket", sock,
+             "--batch-window-ms", str(window_ms), "--warm", "max,1"],
+            stdout=log, stderr=subprocess.STDOUT,
+        )
+        try:
+            t0 = time.time()
+            while time.time() - t0 < 1800:
+                if os.path.exists(sock):
+                    try:
+                        if request(sock, {"cmd": "ping"},
+                                   timeout=60).get("pong"):
+                            break
+                    except (ConnectionError, OSError):
+                        pass
+                time.sleep(2.0)
+            rng = np.random.RandomState(11)
+            cond = (np.abs(rng.rand(16, 16)) * 20.0).astype(
+                np.float32).tolist()
+            def one(_):
+                r = request(sock, {"cond": cond, "n_scenarios": 1},
+                            timeout=600)
+                assert r["ok"], r
+                return r
+
+            # untimed warmup burst: fused totals 1..n_threads hit up to
+            # ~log2 bucket shapes, each a cold compile on first encounter
+            # (they land in the persistent cache for later runs)
+            with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+                list(ex.map(one, range(n_threads * 2)))
+
+            t0 = time.perf_counter()
+            with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+                list(ex.map(one, range(n_threads * n_each)))
+            dt = time.perf_counter() - t0
+            info = request(sock, {"cmd": "info"})
+            request(sock, {"cmd": "shutdown"})
+            srv.wait(timeout=60)
+            return {
+                "window_ms": window_ms,
+                "clients": n_threads,
+                "requests": n_threads * n_each,
+                "requests_per_sec": round(n_threads * n_each / dt, 1),
+                "fused_batches": info.get("fused_batches"),
+            }
+        finally:
+            if srv.poll() is None:
+                srv.terminate()
+                try:
+                    srv.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    srv.kill()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,62 @@
+#!/bin/bash
+# Session-9 TPU queue — backend wedged at session start (doctor timeout).
+# Cache is warm for the fused step (s8 bench 96.5 all-attempt-1); the only
+# maybe-cold shape is the serve daemon's max_batch warm pass.
+#
+#  1. exp_serve_bench.py — RE-measure the serving daemon: the 16:14 run
+#     predates the b64 inline encoding, the threaded connection handler,
+#     and the startup warm (--warm max).  Expect latency_ms_100scen_b64
+#     well under the ~1s float-list encode, and a warm batched_100x100.
+#  2. bench.py — final warm-cache confirmation for the driver's
+#     end-of-round bench.
+#
+# Safe to relaunch: stages skip on completion markers.
+#
+# Usage: nohup bash scripts/tpu_queue_s9.sh >> artifacts/tpu_queue_s9.log 2>&1 &
+set -u -o pipefail
+cd "$(dirname "$0")/.."
+mkdir -p artifacts
+LOG() { echo "[queue $(date +%H:%M:%S)] $*"; }
+
+WAIT_QUIET() {
+    for i in $(seq 1 120); do
+        load=$(cut -d' ' -f1 /proc/loadavg)
+        awk "BEGIN{exit !($load < 0.8)}" && return 0
+        LOG "host busy (load $load), waiting"
+        sleep 60
+    done
+}
+
+GATE() { python -m prdisagg_tpu.cli doctor --wait 36000 \
+             || { LOG "backend down before $1; aborting queue"; exit 1; }; }
+
+GATE "queue-start"
+LOG "backend healthy — draining queue"
+
+# 1. Serving-daemon benchmark (daemon now warms its chunk shape at startup).
+if [ ! -f artifacts/.queue_s9_serve_done ]; then
+    GATE "serve-bench"
+    WAIT_QUIET
+    LOG "stage serve-bench"
+    timeout 3600 python scripts/exp_serve_bench.py \
+        > artifacts/exp_serve_bench.txt 2>&1 \
+        && grep -q '"batched_100x100"' artifacts/exp_serve_bench.txt \
+        && touch artifacts/.queue_s9_serve_done \
+        || LOG "stage serve-bench FAILED (see artifacts/exp_serve_bench.txt)"
+fi
+
+# 2. Final warm bench: retry — a single preflight failure is not conclusive.
+attempt=0
+while [ ! -f artifacts/.queue_s9_bench_done ] && [ $attempt -lt 8 ]; do
+    attempt=$((attempt + 1))
+    GATE "bench"
+    WAIT_QUIET
+    LOG "stage bench attempt $attempt"
+    python bench.py | tee artifacts/bench_s9_queue.json \
+        && grep -q '"metric"' artifacts/bench_s9_queue.json \
+        && ! grep -q '"value": 0' artifacts/bench_s9_queue.json \
+        && touch artifacts/.queue_s9_bench_done \
+        || { LOG "stage bench attempt $attempt FAILED; backing off"; \
+             sleep 300; }
+done
+LOG "queue drained"

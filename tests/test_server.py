@@ -184,6 +184,116 @@ def test_concurrent_clients_all_served(served):
     assert len(outs) == 4 and all(o.shape == (2, 24, 16, 16) for o in outs)
 
 
+def test_bucket_sizes():
+    from prdisagg_tpu.api.pretrained import _bucket
+
+    assert [_bucket(n) for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 13)] == \
+        [1, 2, 3, 4, 6, 6, 8, 8, 12, 16]
+    assert _bucket(768) == 768 and _bucket(769) == 1024
+    # padding stays under 50% (worst case n = 2^k + 1 -> 1.5 * 2^k)
+    for n in range(1, 600):
+        assert n <= _bucket(n) < max(2.1, 1.5 * n)
+
+
+def test_generate_scenarios_multi_matches_and_conserves():
+    """One fused forward serves heterogeneous requests: each slice has the
+    right shape, conserves its own daily sum, and bucket padding (total 5
+    -> shape 6) never leaks padded rows into the outputs."""
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    pg = PretrainedGenerator(state.gen_params, TINY, seed=3)
+    rng = np.random.RandomState(5)
+    c1 = rng.gamma(2.0, 5.0, (16, 16)).astype(np.float32)
+    c2 = rng.gamma(2.0, 5.0, (16, 16, 1)).astype(np.float32)
+    outs = pg.generate_scenarios_multi([c1, c2], [2, 3])  # total 5 -> 6
+    assert [o.shape for o in outs] == [(2, 24, 16, 16), (3, 24, 16, 16)]
+    np.testing.assert_allclose(
+        outs[0].sum(axis=1), np.broadcast_to(c1, (2, 16, 16)), rtol=1e-3)
+    np.testing.assert_allclose(
+        outs[1].sum(axis=1), np.broadcast_to(c2[..., 0], (3, 16, 16)),
+        rtol=1e-3)
+    # requests differ (independent latents within the fused draw)
+    assert not np.allclose(outs[0][0], outs[0][1])
+
+
+def test_run_batch_splits_map_and_stack_entries():
+    """The batcher's split/reassembly: a fused batch of one map request
+    and one (K, nd, nd) stack request reproduces exactly what
+    generate_scenarios_multi returns for the flattened layout."""
+    from prdisagg_tpu.api.server import _Pending
+
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    rng = np.random.RandomState(8)
+    cmap = rng.gamma(2.0, 5.0, (16, 16)).astype(np.float32)
+    cstack = rng.gamma(2.0, 5.0, (2, 16, 16)).astype(np.float32)
+
+    server = ScenarioServer(
+        PretrainedGenerator(state.gen_params, TINY, seed=17),
+        "/tmp/test_run_batch.sock")
+    try:
+        a = _Pending(cmap, 3, False)
+        b = _Pending(cstack, 2, True)
+        server._run_batch([a, b])
+        assert a.event.is_set() and b.event.is_set()
+        assert a.error is None and b.error is None
+        assert a.scenarios.shape == (3, 24, 16, 16)
+        assert b.scenarios.shape == (2, 2, 24, 16, 16)
+        # replay: same seed, same flattened request layout
+        ref = PretrainedGenerator(state.gen_params, TINY, seed=17)
+        want = ref.generate_scenarios_multi(
+            [cmap, cstack[0], cstack[1]], [3, 2, 2])
+        np.testing.assert_array_equal(a.scenarios, want[0])
+        np.testing.assert_array_equal(b.scenarios, np.stack(want[1:]))
+        # a compute error fails the batch without killing anything
+        bad = _Pending(np.full((16, 16), np.inf, np.float32), 1, False)
+        server.generator = None  # force an exception inside _run_batch
+        server._run_batch([bad])
+        assert bad.event.is_set() and bad.error is not None
+    finally:
+        server.generator = object()
+        server.close()
+
+
+def test_server_micro_batching_fuses_concurrent_requests(tmp_path):
+    """With a batch window, concurrent clients are answered from fused
+    forwards: every response is correct and the daemon reports fewer
+    fused batches than requests."""
+    import concurrent.futures
+    import threading as th
+
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    sock = str(tmp_path / "mb.sock")
+    server = ScenarioServer(
+        PretrainedGenerator(state.gen_params, TINY, seed=2), sock,
+        batch_window_ms=1500.0)
+    thread = th.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    cond = np.full((16, 16), 9.0, np.float32)
+    barrier = th.Barrier(4)
+
+    def one(_):
+        barrier.wait(timeout=60)
+        r = request(sock, {"cond": cond.tolist(), "n_scenarios": 2,
+                           "encoding": "b64"}, timeout=120)
+        assert r["ok"], r
+        a = scenarios_array(r)
+        np.testing.assert_allclose(
+            a.sum(axis=1), np.broadcast_to(cond, (2, 16, 16)), rtol=1e-3)
+        return a
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(one, range(4)))
+    assert all(o.shape == (2, 24, 16, 16) for o in outs)
+    info = request(sock, {"cmd": "info"})
+    assert info["batch_window_ms"] == 1500.0
+    assert 1 <= info["fused_batches"] < 4  # fusion actually happened
+    # errors are rejected at parse time, not inside a fused batch
+    bad = request(sock, {"cond": [[1.0]], "n_scenarios": 1})
+    assert not bad["ok"] and "cond shape" in bad["error"]
+    assert request(sock, {"cmd": "shutdown"})["ok"]
+    thread.join(timeout=60)
+    assert not thread.is_alive()
+
+
 def test_server_shutdown_last(served):
     sock, _ = served
     assert request(sock, {"cmd": "shutdown"})["ok"]
