@@ -38,9 +38,10 @@ if [ ! -f artifacts/.queue_s9_serve_done ]; then
     GATE "serve-bench"
     WAIT_QUIET
     LOG "stage serve-bench"
-    timeout 3600 python scripts/exp_serve_bench.py \
+    timeout 7200 python scripts/exp_serve_bench.py \
         > artifacts/exp_serve_bench.txt 2>&1 \
-        && grep -q '"batched_100x100"' artifacts/exp_serve_bench.txt \
+        && grep -q '"concurrent_1scen_window8ms"' \
+               artifacts/exp_serve_bench.txt \
         && touch artifacts/.queue_s9_serve_done \
         || LOG "stage serve-bench FAILED (see artifacts/exp_serve_bench.txt)"
 fi
