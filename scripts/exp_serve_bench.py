@@ -173,7 +173,10 @@ def main():
     n_threads, n_each = (4, 3) if smoke else (16, 25)
     for window, key in ((0.0, "concurrent_1scen_unbatched"),
                         (8.0, "concurrent_1scen_window8ms")):
-        res[key] = _concurrency_stage(weights, window, n_threads, n_each)
+        try:
+            res[key] = _concurrency_stage(weights, window, n_threads, n_each)
+        except Exception as err:  # keep stages 1-4 even if stage 5 dies
+            res[key] = {"error": f"{type(err).__name__}: {err}"}
     print(json.dumps(res, indent=1))
 
 
