@@ -156,21 +156,35 @@ class PretrainedGenerator:
         for the given request sizes BEFORE serving traffic.
 
         Each entry is ``"max"`` — the `max_batch` chunk shape, which every
-        over-cap request chunks into (`predict_fractions`) — or an int n,
-        warmed at the exact device shape a size-n request runs (rounded up
-        to the mesh quantum, capped at `max_batch`).  Without this, the
-        first request of each new shape pays the compile mid-request: cold
-        remote compiles through the tunneled TPU run 30 s-10 min
-        (docs/PERF.md), which a serving SLA cannot absorb.  Returns the
-        total warm seconds.  Uses throwaway zero inputs; the generator's
-        key chain is not consumed."""
+        over-cap request chunks into (`predict_fractions`) —,
+        ``"buckets:N"`` — every micro-batching bucket size {2^k, 1.5*2^k}
+        up to N (the fused shapes `generate_scenarios_multi` pads to) —,
+        or an int n, warmed at the exact device shape a size-n request
+        runs (rounded up to the mesh quantum, capped at `max_batch`).
+        Without this, the first request of each new shape pays the
+        compile mid-request: cold remote compiles through the tunneled
+        TPU run 30 s-10 min (docs/PERF.md), which a serving SLA cannot
+        absorb.  Returns the total warm seconds.  Uses throwaway zero
+        inputs; the generator's key chain is not consumed."""
         import time
 
         quantum = self.mesh.size if self.mesh is not None else 1
-        targets = []
+        sizes = []
         for b in batch_sizes:
-            n = self.max_batch if b == "max" else min(int(b), self.max_batch)
-            targets.append(max(1, -(-n // quantum) * quantum))
+            if b == "max":
+                sizes.append(self.max_batch)
+            elif isinstance(b, str) and b.startswith("buckets"):
+                _, _, lim = b.partition(":")
+                lim = min(int(lim) if lim else 16, self.max_batch)
+                p = 1
+                while p <= lim:
+                    sizes.append(p)
+                    if 3 * p // 2 <= lim and p > 1:
+                        sizes.append(3 * p // 2)
+                    p <<= 1
+            else:
+                sizes.append(min(int(b), self.max_batch))
+        targets = [max(1, -(-n // quantum) * quantum) for n in sizes]
         t0 = time.perf_counter()
         for n in sorted(set(targets)):
             lat = jnp.zeros((n, self.cfg.latent_dim), jnp.float32)
@@ -301,8 +315,8 @@ class PretrainedGenerator:
         micro-batching: K concurrent small requests cost one dispatch
         (~10 ms through the tunnel each if served one at a time,
         docs/PERF.md) and fill the chip's batch dimension.  One latent
-        draw of (sum n_i, latent_dim) covers the fused batch, so each
-        request still gets independent N(0,1) latents, but the exact
+        draw covers the fused batch, so each request still gets
+        independent N(0,1) latents, but the exact
         values depend on how requests were batched together (unlike the
         sequential per-request key chain).
 
@@ -323,20 +337,20 @@ class PretrainedGenerator:
             norm.append(cond / self.norm_scale)
             counts.append(int(n))
         total = sum(counts)
-        latent = np.asarray(jax.random.normal(
-            self._next_key(), (total, self.cfg.latent_dim)))
-        cond_batch = np.repeat(np.stack(norm), counts, axis=0)
         target = min(_bucket(total), self.max_batch)
-        if target > total:  # pad to the bucket shape; sliced off below
-            latent = np.concatenate(
-                [latent, np.zeros((target - total, latent.shape[1]),
-                                  latent.dtype)])
+        # draw the latents at the padded shape directly (stays on device —
+        # a host round-trip here would cost ~28 ms of tunnel RTT per fused
+        # batch, most of the dispatch saving this path exists to capture)
+        latent = jax.random.normal(
+            self._next_key(), (max(target, total), self.cfg.latent_dim))
+        cond_batch = np.repeat(np.stack(norm), counts, axis=0)
+        if target > total:  # pad conds to the bucket shape; sliced below
             cond_batch = np.concatenate(
                 [cond_batch, np.zeros((target - total,
                                        *cond_batch.shape[1:]),
                                       cond_batch.dtype)])
         fractions = np.asarray(self.predict_fractions(
-            jnp.asarray(latent), jnp.asarray(cond_batch)))[:total].squeeze(-1)
+            latent, jnp.asarray(cond_batch)))[:total].squeeze(-1)
         outs, i0 = [], 0
         for cn, n in zip(norm, counts):
             outs.append(fractions[i0:i0 + n]

@@ -189,8 +189,9 @@ class ScenarioServer:
         nd = self.generator.cfg.ndomain
         is_map = cond.shape[:2] == (nd, nd) and (
             cond.ndim == 2 or (cond.ndim == 3 and cond.shape[2] == 1))
-        is_stack = (cond.ndim == 3 and cond.shape[1:] == (nd, nd)) or (
+        is_stack = ((cond.ndim == 3 and cond.shape[1:] == (nd, nd)) or (
             cond.ndim == 4 and cond.shape[1:] == (nd, nd, 1))
+        ) and cond.shape[0] >= 1
         if not (is_map or is_stack):
             return {"ok": False,
                     "error": f"cond shape {cond.shape} is neither one "
@@ -239,7 +240,9 @@ class ScenarioServer:
         cond, n, is_stack, encoding, out = parsed
         item = _Pending(cond, n, is_stack)
         self._queue.put(item)
-        if not item.event.wait(timeout=600.0):
+        # generous: a first-encounter fused shape can pay a cold remote
+        # compile (30 s-10 min through the tunnel) despite startup warming
+        if not item.event.wait(timeout=1200.0):
             return {"ok": False, "error": "batched compute timed out"}
         if item.error is not None:
             return {"ok": False, "error": item.error}
@@ -279,7 +282,14 @@ class ScenarioServer:
                     break
                 batch.append(item)
                 total += item.samples
-            self._run_batch(batch)
+            try:
+                self._run_batch(batch)
+            except Exception as err:  # noqa: BLE001 — the batcher thread
+                # must survive anything; orphaned waiters get the error
+                for item in batch:
+                    if not item.event.is_set():
+                        item.error = f"{type(err).__name__}: {err}"
+                        item.event.set()
             beat_if_enabled()
             if stop:
                 return
@@ -299,10 +309,17 @@ class ScenarioServer:
         t0 = time.perf_counter()
         try:
             outs = self.generator.generate_scenarios_multi(conds, ns)
-        except Exception as err:  # noqa: BLE001 — fail the batch, serve on
-            for item in batch:
+        except Exception as err:  # noqa: BLE001 — fail-isolate, serve on
+            if len(batch) == 1:
+                item = batch[0]
                 item.error = f"{type(err).__name__}: {err}"
                 item.event.set()
+                return
+            # one request's failure (e.g. an absurd n_scenarios OOMing the
+            # fused allocation) must not fail innocent co-batched clients:
+            # retry each request as its own batch, isolating the offender
+            for item in batch:
+                self._run_batch([item])
             return
         seconds = time.perf_counter() - t0
         self.fused_batches += 1
@@ -322,10 +339,15 @@ class ScenarioServer:
                 line = line.strip()
                 if not line:
                     continue
+                # admission is atomic (check + count under one lock), so
+                # max_requests bounds total served even across connections
                 with self._compute_lock:
                     stop = self._shutdown or (
                         max_requests is not None
                         and self._served >= max_requests)
+                    if not stop:
+                        self._served += 1
+                        beat_if_enabled()
                 if stop:
                     break
                 try:
@@ -336,9 +358,11 @@ class ScenarioServer:
                             "error": f"{type(err).__name__}: {err}"}
                 if req is not None:
                     try:
-                        if self._queue is not None and "cmd" not in req:
-                            # micro-batched: compute runs in the batcher
-                            # thread; this thread parses, waits, encodes
+                        if self._queue is not None and req.get("cmd") is None:
+                            # micro-batched: EVERY scenario compute runs in
+                            # the batcher thread (this thread parses, waits,
+                            # encodes) — including {"cmd": null, "cond": ...},
+                            # which must not race the batcher's key chain
                             resp = self._submit_batched(req)
                         else:
                             # compute + the generator key chain are
@@ -349,9 +373,6 @@ class ScenarioServer:
                     except Exception as err:  # noqa: BLE001 — serve on
                         resp = {"ok": False,
                                 "error": f"{type(err).__name__}: {err}"}
-                with self._compute_lock:
-                    beat_if_enabled()
-                    self._served += 1
                 conn.sendall(json.dumps(resp).encode() + b"\n")
                 if self._shutdown or (max_requests is not None
                                       and self._served >= max_requests):

@@ -385,8 +385,13 @@ def cmd_serve(args):
     from prdisagg_tpu.api import ScenarioServer
 
     gen = _load_generator(args, seed=args.seed, max_batch=args.max_batch)
+    if args.warm == "max" and args.batch_window_ms > 0:
+        # micro-batching pads fused totals to bucket shapes; warm the
+        # small ones a concurrent-client load hits first (bigger fused
+        # shapes still compile lazily, into the persistent cache)
+        args.warm = "max,buckets:16"
     if args.warm and args.warm != "none":
-        sizes = [s if s == "max" else int(s)
+        sizes = [s if s == "max" or s.startswith("buckets") else int(s)
                  for s in args.warm.split(",") if s]
         secs = gen.warm(sizes)
         print(f"warmed forward for batch sizes {args.warm} in {secs:.1f}s",

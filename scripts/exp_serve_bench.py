@@ -35,19 +35,19 @@ DEFAULT_W = (
 )
 
 
-def wait_ready(timeout=1800):
+def wait_ready(sock=SOCK, timeout=1800):
     from prdisagg_tpu.api.server import request
 
     t0 = time.time()
     while time.time() - t0 < timeout:
-        if os.path.exists(SOCK):
+        if os.path.exists(sock):
             try:
-                if request(SOCK, {"cmd": "ping"}, timeout=60).get("pong"):
+                if request(sock, {"cmd": "ping"}, timeout=60).get("pong"):
                     return
             except (ConnectionError, OSError):
                 pass
         time.sleep(2.0)
-    raise TimeoutError("server never became ready")
+    raise TimeoutError(f"server on {sock} never became ready")
 
 
 def main():
@@ -194,16 +194,7 @@ def _concurrency_stage(weights, window_ms, n_threads, n_each):
             stdout=log, stderr=subprocess.STDOUT,
         )
         try:
-            t0 = time.time()
-            while time.time() - t0 < 1800:
-                if os.path.exists(sock):
-                    try:
-                        if request(sock, {"cmd": "ping"},
-                                   timeout=60).get("pong"):
-                            break
-                    except (ConnectionError, OSError):
-                        pass
-                time.sleep(2.0)
+            wait_ready(sock)
             rng = np.random.RandomState(11)
             cond = (np.abs(rng.rand(16, 16)) * 20.0).astype(
                 np.float32).tolist()

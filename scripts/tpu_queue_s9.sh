@@ -40,8 +40,7 @@ if [ ! -f artifacts/.queue_s9_serve_done ]; then
     LOG "stage serve-bench"
     timeout 7200 python scripts/exp_serve_bench.py \
         > artifacts/exp_serve_bench.txt 2>&1 \
-        && grep -q '"concurrent_1scen_window8ms"' \
-               artifacts/exp_serve_bench.txt \
+        && python -c "import json; r = json.load(open('artifacts/exp_serve_bench.txt')); assert 'requests_per_sec' in r['concurrent_1scen_window8ms']" \
         && touch artifacts/.queue_s9_serve_done \
         || LOG "stage serve-bench FAILED (see artifacts/exp_serve_bench.txt)"
 fi
@@ -55,7 +54,7 @@ while [ ! -f artifacts/.queue_s9_bench_done ] && [ $attempt -lt 8 ]; do
     LOG "stage bench attempt $attempt"
     python bench.py | tee artifacts/bench_s9_queue.json \
         && grep -q '"metric"' artifacts/bench_s9_queue.json \
-        && ! grep -q '"value": 0' artifacts/bench_s9_queue.json \
+        && ! grep -Eq '"value": 0(\.0+)?[,}]' artifacts/bench_s9_queue.json \
         && touch artifacts/.queue_s9_bench_done \
         || { LOG "stage bench attempt $attempt FAILED; backing off"; \
              sleep 300; }

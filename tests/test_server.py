@@ -294,6 +294,80 @@ def test_server_micro_batching_fuses_concurrent_requests(tmp_path):
     assert not thread.is_alive()
 
 
+def test_run_batch_isolates_a_failing_request():
+    """One request's compute failure must not fail innocent co-batched
+    clients: the batch retries item-by-item, isolating the offender."""
+    from prdisagg_tpu.api.server import _Pending
+
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    server = ScenarioServer(
+        PretrainedGenerator(state.gen_params, TINY, seed=6),
+        "/tmp/test_isolate.sock")
+    real_multi = server.generator.generate_scenarios_multi
+    poison = np.full((16, 16), -1.0, np.float32)
+
+    def flaky_multi(conds, ns):
+        if any(c is poison or (np.asarray(c) == -1.0).all() for c in conds):
+            if len(conds) > 1:
+                raise RuntimeError("fused allocation failed")
+            raise RuntimeError("poison request")
+        return real_multi(conds, ns)
+
+    try:
+        server.generator.generate_scenarios_multi = flaky_multi
+        good = _Pending(np.full((16, 16), 5.0, np.float32), 2, False)
+        bad = _Pending(poison, 1, False)
+        server._run_batch([good, bad])
+        assert good.error is None and good.scenarios.shape == (2, 24, 16, 16)
+        assert bad.error is not None and "poison" in bad.error
+    finally:
+        server.close()
+
+
+def test_zero_row_stack_rejected_at_parse():
+    """(0, nd, nd) stacks are refused as a parse error — before the fix
+    they reached the batcher and np.stack([]) killed its thread."""
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    server = ScenarioServer(
+        PretrainedGenerator(state.gen_params, TINY), "/tmp/test_zrow.sock")
+    try:
+        parsed = server._parse_scenario(
+            {"cond": np.zeros((0, 16, 16)).tolist(), "n_scenarios": 1})
+        assert isinstance(parsed, dict) and not parsed["ok"]
+        assert "cond shape" in parsed["error"]
+    finally:
+        server.close()
+
+
+def test_cmd_null_routes_through_the_batcher(tmp_path):
+    """{'cmd': null, 'cond': ...} must not compute in the handler thread
+    when micro-batching is on (it would race the batcher's key chain)."""
+    import threading as th
+
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    sock = str(tmp_path / "cn.sock")
+    server = ScenarioServer(
+        PretrainedGenerator(state.gen_params, TINY, seed=4), sock,
+        batch_window_ms=20.0)
+    thread = th.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    cond = np.full((16, 16), 3.0, np.float32)
+    r = request(sock, {"cmd": None, "cond": cond.tolist(), "n_scenarios": 1},
+                timeout=120)
+    assert r["ok"], r
+    info = request(sock, {"cmd": "info"})
+    assert info["fused_batches"] == 1  # it went through the batcher
+    assert request(sock, {"cmd": "shutdown"})["ok"]
+    thread.join(timeout=60)
+
+
+def test_warm_buckets_spec():
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    pg = PretrainedGenerator(state.gen_params, TINY, seed=1, max_batch=8)
+    assert pg.warm(("buckets:6",)) >= 0.0  # warms {1, 2, 3, 4, 6}
+    assert pg.warm(("buckets",)) >= 0.0    # default limit, capped at max
+
+
 def test_server_shutdown_last(served):
     sock, _ = served
     assert request(sock, {"cmd": "shutdown"})["ok"]
