@@ -187,10 +187,12 @@ def _concurrency_stage(weights, window_ms, n_threads, n_each):
 
     sock = SOCK + ".conc"
     with open("/tmp/serve_bench_conc.log", "wb") as log:
+        # no explicit --warm: window 0 warms "max", window > 0 auto-warms
+        # "max,buckets:16" (the fused shapes this load produces)
         srv = subprocess.Popen(
             [sys.executable, "-m", "prdisagg_tpu.cli", "serve",
              "--weights", weights, "--socket", sock,
-             "--batch-window-ms", str(window_ms), "--warm", "max,1"],
+             "--batch-window-ms", str(window_ms)],
             stdout=log, stderr=subprocess.STDOUT,
         )
         try:
