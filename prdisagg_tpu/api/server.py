@@ -15,6 +15,10 @@ Protocol — one JSON object per line, one JSON response line per request:
 
     {"cmd": "ping"}                    -> {"ok": true, "pong": true}
     {"cmd": "info"}                    -> {"ok": true, "ndomain": ..., ...}
+    {"cmd": "stats"}                   -> {"ok": true, "uptime_s": ...,
+                                           "latency_ms": {"p50": ...}, ...}
+    {"cmd": "reload", "weights": "gen_epoch21.h5"}
+        -> {"ok": true, "reloaded": "...", "seconds": ...}
     {"cmd": "shutdown"}                -> {"ok": true, "shutdown": true}
     {"cond": [[...]], "n_scenarios": 10}
         -> {"ok": true, "scenarios": [...], "shape": [...], "seconds": ...}
@@ -29,6 +33,17 @@ Protocol — one JSON object per line, one JSON response line per request:
 served as ONE fused forward (`generate_scenarios_batch`, riding the
 measured batch-8000 throughput peak; docs/PERF.md).  Large results must
 use "out" (saved atomically as .npy); inline JSON responses are capped.
+
+Operability: `stats` reports uptime, request/error/fused-batch counters,
+total scenarios generated, and client-observed latency percentiles over
+the last 2048 scenario requests (wall time from request admission to
+response encode — queueing and lock waits included, so it is the number
+an SLA cares about).  `reload` hot-swaps the served weights from a
+`.h5`/`.npz` file of the SAME architecture without dropping a request or
+recompiling (the jitted forward is reused — `PretrainedGenerator.
+reload_params`); a mismatched file is refused and the old weights keep
+serving.  The swap is atomic: an in-flight forward uses whichever weight
+tree it already grabbed, never a mix.
 
 Encoding: the default inline response is a nested float list — friendly
 to any JSON client but paid for in host CPU (repr of one float is ~1 µs;
@@ -52,7 +67,9 @@ sequential per-request key chain.
 from __future__ import annotations
 
 import base64
+import collections
 import json
+import math
 import os
 import socket
 import threading
@@ -120,6 +137,17 @@ class ScenarioServer:
         # timeout never blocks other clients
         self._compute_lock = threading.Lock()
         self._served = 0  # mutated under _compute_lock only
+        # observability (cmd "stats"): counters + a latency ring buffer of
+        # recent scenario requests, guarded by their own lock so recording
+        # never contends with compute
+        self._t_start = time.time()
+        self._stats_lock = threading.Lock()
+        self._latencies = collections.deque(maxlen=2048)
+        self._scenario_requests = 0
+        self._scenarios_out = 0
+        self._errors = 0
+        self._reloads = 0
+        self._last_reload = None
         self._batch_window = batch_window_ms / 1e3
         self._queue = None
         self._batcher = None
@@ -148,6 +176,10 @@ class ScenarioServer:
                 "fused_batches": self.fused_batches,
                 "served": self._served,
             }
+        if cmd == "stats":
+            return self._stats()
+        if cmd == "reload":
+            return self._reload(req)
         if cmd == "shutdown":
             self._shutdown = True
             return {"ok": True, "shutdown": True}
@@ -165,6 +197,78 @@ class ScenarioServer:
             scenarios = self.generator.generate_scenarios(cond, n)
         return self._encode_response(
             scenarios, encoding, out, time.perf_counter() - t0)
+
+    # -- operability: stats + hot reload ---------------------------------------
+    def _stats(self) -> dict:
+        with self._stats_lock:
+            lats = sorted(self._latencies)
+            out = {
+                "ok": True,
+                "uptime_s": round(time.time() - self._t_start, 1),
+                "served": self._served,
+                "scenario_requests": self._scenario_requests,
+                "scenarios": self._scenarios_out,
+                "errors": self._errors,
+                "fused_batches": self.fused_batches,
+                "batch_window_ms": self._batch_window * 1e3,
+                "reloads": self._reloads,
+                "last_reload": self._last_reload,
+            }
+        if lats:
+            def pct(q):  # nearest-rank (ceil) on the sorted snapshot
+                idx = max(0, math.ceil(q * len(lats)) - 1)
+                return round(1e3 * lats[min(len(lats) - 1, idx)], 2)
+
+            out["latency_ms"] = {
+                "count": len(lats), "p50": pct(0.50), "p90": pct(0.90),
+                "p99": pct(0.99), "max": round(1e3 * lats[-1], 2),
+                "mean": round(1e3 * sum(lats) / len(lats), 2),
+            }
+        else:
+            out["latency_ms"] = {"count": 0}
+        return out
+
+    def _reload(self, req: dict) -> dict:
+        """Hot-swap the served weights from a .h5/.npz of the same
+        architecture.  The load + validation happen on the host; the swap
+        is one atomic assignment (PretrainedGenerator.reload_params), so
+        the compiled forward and the key chain are untouched and no
+        recompile is paid.  A mismatched or unreadable file is refused and
+        the old weights keep serving."""
+        path = req.get("weights")
+        if not path:
+            return {"ok": False, "error": "reload needs 'weights': <path "
+                                          "to a .h5 or .npz of the same "
+                                          "architecture>"}
+        t0 = time.perf_counter()
+        try:
+            params = self.generator.load_weights_file(path)
+            self.generator.reload_params(params)
+        except Exception as err:  # noqa: BLE001 — refuse, keep serving
+            return {"ok": False,
+                    "error": f"reload refused ({type(err).__name__}: {err}); "
+                             "still serving the previous weights"}
+        with self._stats_lock:
+            self._reloads += 1
+            self._last_reload = path
+        return {"ok": True, "reloaded": path,
+                "seconds": round(time.perf_counter() - t0, 3)}
+
+    def _record_scenario(self, resp: dict, wall_s: float) -> None:
+        """Fold one scenario request into the stats (wire-level wall time:
+        admission -> response built, queue/lock waits included)."""
+        per_scenario = (self.generator.cfg.nhours
+                        * self.generator.cfg.ndomain ** 2)
+        with self._stats_lock:
+            self._scenario_requests += 1
+            if resp.get("ok"):
+                n = 1
+                for d in resp.get("shape", []):
+                    n *= d
+                self._scenarios_out += n // per_scenario
+                self._latencies.append(wall_s)
+            else:
+                self._errors += 1
 
     def _parse_scenario(self, req):
         """Validate a scenario request.  Returns (cond, n, is_stack,
@@ -357,8 +461,10 @@ class ScenarioServer:
                     resp = {"ok": False,
                             "error": f"{type(err).__name__}: {err}"}
                 if req is not None:
+                    is_scenario = req.get("cmd") is None
+                    t_req = time.perf_counter()
                     try:
-                        if self._queue is not None and req.get("cmd") is None:
+                        if self._queue is not None and is_scenario:
                             # micro-batched: EVERY scenario compute runs in
                             # the batcher thread (this thread parses, waits,
                             # encodes) — including {"cmd": null, "cond": ...},
@@ -373,6 +479,9 @@ class ScenarioServer:
                     except Exception as err:  # noqa: BLE001 — serve on
                         resp = {"ok": False,
                                 "error": f"{type(err).__name__}: {err}"}
+                    if is_scenario:
+                        self._record_scenario(
+                            resp, time.perf_counter() - t_req)
                 conn.sendall(json.dumps(resp).encode() + b"\n")
                 if self._shutdown or (max_requests is not None
                                       and self._served >= max_requests):

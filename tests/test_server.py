@@ -368,6 +368,94 @@ def test_warm_buckets_spec():
     assert pg.warm(("buckets",)) >= 0.0    # default limit, capped at max
 
 
+def test_server_stats_and_hot_reload(tmp_path):
+    """The operability surface: 'stats' counts requests/errors/scenarios
+    with wire-level latency percentiles, and 'reload' hot-swaps same-
+    architecture weights without touching the key chain (a mismatched
+    file is refused and the old weights keep serving)."""
+    import jax
+
+    from prdisagg_tpu.models.io import save_params_npz
+
+    state_a, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    state_b, _, _ = create_train_state(TINY, TrainConfig(seed=1))
+    sock = str(tmp_path / "st.sock")
+    server = ScenarioServer(
+        PretrainedGenerator(state_a.gen_params, TINY, seed=7), sock)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        cond = np.full((16, 16), 4.0, np.float32)
+        ok1 = request(sock, {"cond": cond.tolist(), "n_scenarios": 3,
+                             "encoding": "b64"})
+        assert ok1["ok"]
+        assert not request(sock, {"cond": [[1.0]], "n_scenarios": 1})["ok"]
+        st = request(sock, {"cmd": "stats"})
+        assert st["ok"] and st["scenario_requests"] == 2
+        assert st["errors"] == 1 and st["scenarios"] == 3
+        assert st["reloads"] == 0 and st["uptime_s"] >= 0
+        assert st["latency_ms"]["count"] == 1
+        assert 0 < st["latency_ms"]["p50"] <= st["latency_ms"]["max"]
+
+        # hot reload: same architecture, fresh weights
+        wpath = str(tmp_path / "gen_b.npz")
+        save_params_npz(wpath, state_b.gen_params)
+        rl = request(sock, {"cmd": "reload", "weights": wpath})
+        assert rl["ok"] and rl["reloaded"] == wpath, rl
+        for cur, new in zip(jax.tree_util.tree_leaves(server.generator.params),
+                            jax.tree_util.tree_leaves(state_b.gen_params)):
+            np.testing.assert_array_equal(np.asarray(cur), np.asarray(new))
+        # the key chain is untouched: a replay generator with B's weights
+        # that burns one request reproduces the post-reload response exactly
+        after = request(sock, {"cond": cond.tolist(), "n_scenarios": 2,
+                               "encoding": "b64"})
+        ref = PretrainedGenerator(state_b.gen_params, TINY, seed=7)
+        ref.generate_scenarios(cond, 3)  # burn key 1 (the pre-reload request)
+        want = ref.generate_scenarios(cond, 2).astype(np.float32)
+        np.testing.assert_array_equal(scenarios_array(after), want)
+
+        # mismatched architecture is refused; old weights keep serving
+        tiny2 = ModelConfig(ndomain=16, latent_dim=4, gen_channels=(8, 8, 8),
+                            base_channels=8, critic_channels=(8, 8, 8, 8))
+        state_c, _, _ = create_train_state(tiny2, TrainConfig(seed=2))
+        bad_path = str(tmp_path / "gen_c.npz")
+        save_params_npz(bad_path, state_c.gen_params)
+        refused = request(sock, {"cmd": "reload", "weights": bad_path})
+        assert not refused["ok"] and "refused" in refused["error"]
+        assert not request(sock, {"cmd": "reload"})["ok"]  # no path
+        assert not request(
+            sock, {"cmd": "reload", "weights": "/no/such.npz"})["ok"]
+        still = request(sock, {"cond": cond.tolist(), "n_scenarios": 1,
+                               "encoding": "b64"})
+        assert still["ok"]  # still serving, on B's weights
+        st2 = request(sock, {"cmd": "stats"})
+        assert st2["reloads"] == 1 and st2["last_reload"] == wpath
+        assert st2["scenario_requests"] == 4 and st2["errors"] == 1
+        assert st2["scenarios"] == 6 and st2["latency_ms"]["count"] == 3
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        thread.join(timeout=30)
+
+
+def test_reload_params_validates_before_swapping():
+    """reload_params refuses structure or shape mismatches atomically —
+    the serving params are untouched on failure."""
+    import jax
+
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    pg = PretrainedGenerator(state.gen_params, TINY)
+    before = jax.tree_util.tree_leaves(pg.params)
+    with pytest.raises(ValueError, match="structure mismatch"):
+        pg.reload_params({"params": {}})
+    bad = jax.tree_util.tree_map(
+        lambda a: np.zeros(np.shape(a) + (2,), np.asarray(a).dtype),
+        state.gen_params)
+    with pytest.raises(ValueError, match="leaf mismatch"):
+        pg.reload_params(bad)
+    for cur, orig in zip(jax.tree_util.tree_leaves(pg.params), before):
+        np.testing.assert_array_equal(np.asarray(cur), np.asarray(orig))
+
+
 def test_server_shutdown_last(served):
     sock, _ = served
     assert request(sock, {"cmd": "shutdown"})["ok"]
