@@ -140,7 +140,8 @@ def cmd_train(args):
         sys.exit("--warm-start-critic requires --warm-start-gen")
     tr = Trainer(exp, ds, workdir=args.workdir,
                  steps_per_epoch=args.steps_per_epoch,
-                 warm_start_weights=warm, start_epoch=args.start_epoch)
+                 warm_start_weights=warm, start_epoch=args.start_epoch,
+                 tensorboard_dir=args.tensorboard)
     if args.resume:
         tr.maybe_resume()
     else:
@@ -513,6 +514,11 @@ def build_parser():
                    default=None,
                    help="EMA generator decay per fused step (0 = off, the "
                         "reference protocol); exports gen_ema_* weights")
+    t.add_argument("--tensorboard", dest="tensorboard", default=None,
+                   metavar="DIR",
+                   help="also stream per-chunk metrics to a TensorBoard "
+                        "event file in DIR (hist.csv stays the always-on "
+                        "record; SURVEY.md §5 metrics plan)")
     t.add_argument("--production", action="store_true",
                    help="measured-production preset "
                         "(core.config.production_train_config): schedule "

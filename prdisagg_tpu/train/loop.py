@@ -59,13 +59,19 @@ class Trainer:
         export_format: str = "h5",
         warm_start_weights: Optional[tuple] = None,
         start_epoch: int = 0,
+        tensorboard_dir: Optional[str] = None,
     ):
         """`warm_start_weights=(gen_path, critic_path_or_None)` reloads saved
         weights (.npz or reference .h5) with FRESH optimizers, and
         `start_epoch` offsets the epoch labels — the reference's
         continue-training workflow (gan_train_cwgangp_pixelnorm.py:520-529 +
         start_epoch).  For exact resume (optimizer state included) use
-        `maybe_resume()` instead."""
+        `maybe_resume()` instead.
+
+        `tensorboard_dir` opts into live TensorBoard scalars alongside
+        hist.csv (SURVEY.md §5 metrics plan: "CSV + optional TensorBoard");
+        the step axis counts hist rows (fused-step chunks), so it stays
+        monotonic across exact resumes."""
         self.exp = exp
         self.model_cfg = exp.model()
         self.workdir = workdir
@@ -129,6 +135,11 @@ class Trainer:
         from prdisagg_tpu.utils.watchdog import Heartbeat
 
         self.heartbeat = Heartbeat.from_env()
+        self.tb = None
+        if tensorboard_dir:
+            from prdisagg_tpu.utils.tb import MetricsTB
+
+            self.tb = MetricsTB(tensorboard_dir)
         # (epoch, snapshot) of the last COMPLETED epoch — the final/abort
         # checkpoint source (the live state after a NaN abort is poisoned)
         self._last_snap: Optional[tuple] = None
@@ -195,6 +206,8 @@ class Trainer:
             try:
                 self._final_checkpoint()
                 self.writer.flush()
+                if self.tb is not None:
+                    self.tb.flush()
             except Exception:
                 import traceback
 
@@ -202,6 +215,8 @@ class Trainer:
             raise
         self._final_checkpoint()
         self.writer.flush()
+        if self.tb is not None:
+            self.tb.flush()
         return self.hist
 
     def _final_checkpoint(self):
@@ -270,6 +285,10 @@ class Trainer:
                 for k in self.hist:
                     self.hist[k].append(
                         self.epoch + 1 if k == "epoch" else m[k])
+                if self.tb is not None:
+                    self.tb.log(
+                        {k: m[k] for k in self.hist if k != "epoch"},
+                        step=len(self.hist["d_loss"]))
                 if progress:
                     print(
                         f"epoch {self.epoch + 1} {(j + 1) * k_steps}/"
@@ -283,6 +302,9 @@ class Trainer:
             if progress:
                 print(f"epoch {self.epoch} done in {dt:.1f}s "
                       f"({steps_per_epoch / dt:.2f} fused steps/s)", flush=True)
+            if self.tb is not None:
+                self.tb.log({"steps_per_sec": steps_per_epoch / dt},
+                            step=self.epoch, prefix="perf")
             self._end_of_epoch()
 
     # ------------------------------------------------------------------

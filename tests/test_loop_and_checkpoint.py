@@ -512,3 +512,37 @@ def test_ema_trainer_exports_and_resume(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(tr.state.ema_gen_params),
                     jax.tree_util.tree_leaves(tr2.state.ema_gen_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tensorboard_sink_streams_metrics(tmp_path):
+    """Opt-in TensorBoard logging (SURVEY.md §5: "CSV + optional
+    TensorBoard"): a tiny fit writes an event file whose scalar tags carry
+    one point per hist row, while hist.csv stays the always-on record."""
+    tb = pytest.importorskip("tensorboard")  # noqa: F841 — env-gated
+    workdir = str(tmp_path / "run")
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32,
+                                                 seed=4)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    tbdir = str(tmp_path / "tb")
+    tr = Trainer(_tiny_exp(), ds, workdir=workdir, use_mesh=False,
+                 steps_per_epoch=2, plot_every_epochs=0,
+                 export_weights_every_epochs=0, tensorboard_dir=tbdir)
+    hist = tr.fit(progress=False)
+    tr.tb.close()
+    assert os.path.exists(os.path.join(workdir, "hist.csv"))
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(tbdir)
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"train/d_loss", "train/g_loss", "train/gp",
+            "perf/steps_per_sec"} <= tags
+    pts = acc.Scalars("train/d_loss")
+    assert len(pts) == len(hist["d_loss"]) == 4
+    np.testing.assert_allclose([p.value for p in pts], hist["d_loss"],
+                               rtol=1e-6)
+    assert [p.step for p in pts] == [1, 2, 3, 4]
+    assert len(acc.Scalars("perf/steps_per_sec")) == 2  # one per epoch
