@@ -34,6 +34,16 @@ served as ONE fused forward (`generate_scenarios_batch`, riding the
 measured batch-8000 throughput peak; docs/PERF.md).  Large results must
 use "out" (saved atomically as .npy); inline JSON responses are capped.
 
+Weight watching (`watch_path` / `cli serve --watch`): a daemon thread
+polls a weight file (reload on mtime change) or a directory (reload when
+a newer `gen_*.h5`/`gen_*.npz` appears — the Trainer's per-epoch export
+layout, trained_models/<name>/), hot-swapping via the same validated
+reload path.  Training and serving compose into continuous deployment:
+point --watch at the training run's export directory and every epoch is
+live seconds after its atomic export lands.  A file that fails to load
+(wrong architecture, torn write from a non-atomic producer) is refused,
+logged, and retried on the next change; the old weights keep serving.
+
 Operability: `stats` reports uptime, request/error/fused-batch counters,
 total scenarios generated, and client-observed latency percentiles over
 the last 2048 scenario requests (wall time from request admission to
@@ -122,7 +132,9 @@ class ScenarioServer:
     daemon keeps the sequential per-request key chain exactly."""
 
     def __init__(self, generator, socket_path: str, backlog: int = 8,
-                 batch_window_ms: float = 0.0):
+                 batch_window_ms: float = 0.0,
+                 watch_path: Optional[str] = None,
+                 watch_interval_s: float = 5.0):
         self.generator = generator
         self.socket_path = socket_path
         if os.path.exists(socket_path):
@@ -159,6 +171,17 @@ class ScenarioServer:
             self._batcher = threading.Thread(
                 target=self._batcher_loop, daemon=True)
             self._batcher.start()
+        # weight watching: the signature is taken NOW, before the thread
+        # starts — the generator was just loaded, so only files landing
+        # AFTER construction trigger a reload
+        self._watch_path = watch_path
+        self._watch_interval = watch_interval_s
+        self._watcher = None
+        if watch_path is not None:
+            self._watch_sig = self._watch_signature()
+            self._watcher = threading.Thread(
+                target=self._watcher_loop, daemon=True)
+            self._watcher.start()
 
     # -- request handling ------------------------------------------------------
     def handle_request(self, req: dict) -> dict:
@@ -213,6 +236,7 @@ class ScenarioServer:
                 "batch_window_ms": self._batch_window * 1e3,
                 "reloads": self._reloads,
                 "last_reload": self._last_reload,
+                "watch_path": self._watch_path,
             }
         if lats:
             def pct(q):  # nearest-rank (ceil) on the sorted snapshot
@@ -240,6 +264,9 @@ class ScenarioServer:
             return {"ok": False, "error": "reload needs 'weights': <path "
                                           "to a .h5 or .npz of the same "
                                           "architecture>"}
+        return self._reload_from(path)
+
+    def _reload_from(self, path: str) -> dict:
         t0 = time.perf_counter()
         try:
             params = self.generator.load_weights_file(path)
@@ -253,6 +280,50 @@ class ScenarioServer:
             self._last_reload = path
         return {"ok": True, "reloaded": path,
                 "seconds": round(time.perf_counter() - t0, 3)}
+
+    # -- weight watching ---------------------------------------------------------
+    def _watch_signature(self):
+        """(mtime_ns, path) of the watched file, or of the newest gen_*
+        weight export in the watched directory (the Trainer's per-epoch
+        layout); None while nothing matches."""
+        p = self._watch_path
+        try:
+            if os.path.isdir(p):
+                import glob as _glob
+
+                cands = [f for pat in ("gen_*.h5", "gen_*.npz")
+                         for f in _glob.glob(os.path.join(p, pat))]
+                if not cands:
+                    return None
+                return max((os.stat(f).st_mtime_ns, f) for f in cands)
+            return (os.stat(p).st_mtime_ns, p)
+        except OSError:  # vanished between glob and stat, or no file yet
+            return None
+
+    def _watcher_loop(self) -> None:
+        """Poll the watch path and hot-swap when a newer weight file
+        appears.  A failing load (mismatched architecture, torn write from
+        a non-atomic producer) is logged and retried on the NEXT signature
+        change — the signature is still advanced, so one bad file cannot
+        spin the loop."""
+        next_check = 0.0
+        while not self._shutdown:
+            # 0.2 s granularity keeps shutdown responsive at any interval
+            time.sleep(0.2)
+            now = time.monotonic()
+            if now < next_check:
+                continue
+            next_check = now + self._watch_interval
+            sig = self._watch_signature()
+            if sig is None or sig == self._watch_sig:
+                continue
+            self._watch_sig = sig
+            resp = self._reload_from(sig[1])
+            if resp.get("ok"):
+                print(f"[serve] reloaded {sig[1]} "
+                      f"({resp['seconds']}s)", flush=True)
+            else:
+                print(f"[serve] watch: {resp['error']}", flush=True)
 
     def _record_scenario(self, resp: dict, wall_s: float) -> None:
         """Fold one scenario request into the stats (wire-level wall time:
@@ -520,6 +591,8 @@ class ScenarioServer:
             # requests after shutdown, so waiting handlers still complete
             for t in threads:
                 t.join(timeout=120)
+            if self._watcher is not None:
+                self._watcher.join(timeout=10)  # exits on the shutdown flag
             if self._queue is not None:
                 self._queue.put(None)  # sentinel: batcher exits when reached
                 self._batcher.join(timeout=120)

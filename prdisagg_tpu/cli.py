@@ -398,9 +398,12 @@ def cmd_serve(args):
         print(f"warmed forward for batch sizes {args.warm} in {secs:.1f}s",
               flush=True)
     server = ScenarioServer(gen, args.socket_path,
-                            batch_window_ms=args.batch_window_ms)
+                            batch_window_ms=args.batch_window_ms,
+                            watch_path=args.watch,
+                            watch_interval_s=args.watch_interval)
+    watching = f", watching {args.watch}" if args.watch else ""
     print(f"serving {args.weights} (ndomain={gen.cfg.ndomain}) "
-          f"on {args.socket_path}", flush=True)
+          f"on {args.socket_path}{watching}", flush=True)
     served = server.serve_forever(max_requests=args.max_requests)
     print(f"served {served} requests; bye")
 
@@ -687,6 +690,14 @@ def build_parser():
     srv.add_argument("--dp", type=int, default=0,
                      help="shard every request's scenario batch over the "
                           "first N devices (data-parallel serving)")
+    srv.add_argument("--watch", default=None, metavar="PATH",
+                     help="hot-reload weights when PATH changes: a file "
+                          "(reload on mtime change) or a directory (reload "
+                          "when a newer gen_*.h5/.npz export lands — point "
+                          "it at a training run's trained_models/<name>/ "
+                          "for continuous deployment)")
+    srv.add_argument("--watch-interval", type=float, default=5.0,
+                     help="seconds between watch polls")
     srv.set_defaults(fn=cmd_serve)
 
     d = sub.add_parser("download")

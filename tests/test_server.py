@@ -437,6 +437,64 @@ def test_server_stats_and_hot_reload(tmp_path):
         thread.join(timeout=30)
 
 
+def test_server_watch_dir_hot_reloads_new_exports(tmp_path):
+    """Weight watching (--watch): a newer gen_* export appearing in the
+    watched directory is hot-swapped automatically; a broken file is
+    refused without killing the watcher, and a later good export still
+    reloads."""
+    import time
+
+    import jax
+
+    from prdisagg_tpu.models.io import save_params_npz
+
+    state_a, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    state_b, _, _ = create_train_state(TINY, TrainConfig(seed=1))
+    wdir = tmp_path / "exports"
+    wdir.mkdir()
+    save_params_npz(str(wdir / "gen_x_0001.npz"), state_a.gen_params)
+    sock = str(tmp_path / "w.sock")
+    server = ScenarioServer(
+        PretrainedGenerator(state_a.gen_params, TINY, seed=9), sock,
+        watch_path=str(wdir), watch_interval_s=0.05)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+
+    def wait_for(pred, what, timeout=60):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return
+            time.sleep(0.1)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    try:
+        # the startup signature covers gen_x_0001: no spurious reload
+        assert server._watch_sig[1].endswith("gen_x_0001.npz")
+        # a broken newest file is refused; the old weights keep serving
+        (wdir / "gen_x_0002.npz").write_bytes(b"not an npz at all")
+        wait_for(lambda: server._watch_sig[1].endswith("gen_x_0002.npz"),
+                 "watcher to see the broken file")
+        st = request(sock, {"cmd": "stats"})
+        assert st["reloads"] == 0 and st["watch_path"] == str(wdir)
+        assert request(sock, {"cond": np.full((16, 16), 2.0).tolist(),
+                              "n_scenarios": 1, "encoding": "b64"})["ok"]
+        # a good newer export is picked up automatically
+        save_params_npz(str(wdir / "gen_x_0003.npz"), state_b.gen_params)
+        wait_for(lambda: request(sock, {"cmd": "stats"})["reloads"] == 1,
+                 "watcher to reload the new export")
+        assert request(sock, {"cmd": "stats"})["last_reload"].endswith(
+            "gen_x_0003.npz")
+        for cur, new in zip(jax.tree_util.tree_leaves(server.generator.params),
+                            jax.tree_util.tree_leaves(state_b.gen_params)):
+            np.testing.assert_array_equal(np.asarray(cur), np.asarray(new))
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        thread.join(timeout=30)
+    assert not thread.is_alive()
+    assert not server._watcher.is_alive()  # joined via the shutdown flag
+
+
 def test_reload_params_validates_before_swapping():
     """reload_params refuses structure or shape mismatches atomically —
     the serving params are untouched on failure."""
