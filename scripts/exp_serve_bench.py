@@ -150,6 +150,11 @@ def main():
         err = float(np.abs(daily - conds[:n_conds, None]).max())
         res["max_abs_conservation_err_mm"] = err
 
+        # daemon-side observability: server-observed latency percentiles
+        # (admission -> response built) + counters for the artifact
+        st = request(SOCK, {"cmd": "stats"})
+        res["daemon_stats"] = {k: v for k, v in st.items() if k != "ok"}
+
         request(SOCK, {"cmd": "shutdown"})
         srv.wait(timeout=60)
         log.flush()
@@ -216,7 +221,7 @@ def _concurrency_stage(weights, window_ms, n_threads, n_each):
             with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
                 list(ex.map(one, range(n_threads * n_each)))
             dt = time.perf_counter() - t0
-            info = request(sock, {"cmd": "info"})
+            st = request(sock, {"cmd": "stats"})
             request(sock, {"cmd": "shutdown"})
             srv.wait(timeout=60)
             return {
@@ -224,7 +229,10 @@ def _concurrency_stage(weights, window_ms, n_threads, n_each):
                 "clients": n_threads,
                 "requests": n_threads * n_each,
                 "requests_per_sec": round(n_threads * n_each / dt, 1),
-                "fused_batches": info.get("fused_batches"),
+                "fused_batches": st.get("fused_batches"),
+                # server-observed per-request wall (queueing included):
+                # under the window, p50 ~ window + device time
+                "latency_ms_server": st.get("latency_ms"),
             }
         finally:
             if srv.poll() is None:
