@@ -18,6 +18,7 @@ differences:
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Callable, Optional
@@ -37,6 +38,18 @@ from prdisagg_tpu.train.artifacts import ArtifactWriter, SyncWriter, snapshot
 from prdisagg_tpu.train.checkpoint import CheckpointManager
 from prdisagg_tpu.train.state import GANTrainState, create_train_state
 from prdisagg_tpu.train.wgan_gp import make_train_step, unpack_metrics
+
+
+def _dict_diff(a: dict, b: dict, prefix: str = "") -> list:
+    """Dotted paths of leaves that differ between two nested dicts."""
+    out = []
+    for k in sorted(set(a) | set(b)):
+        va, vb = a.get(k), b.get(k)
+        if isinstance(va, dict) and isinstance(vb, dict):
+            out += _dict_diff(va, vb, f"{prefix}{k}.")
+        elif va != vb:
+            out.append(f"{prefix}{k}")
+    return out
 
 
 class NaNLossError(RuntimeError):
@@ -144,6 +157,52 @@ class Trainer:
         # checkpoint source (the live state after a NaN abort is poisoned)
         self._last_snap: Optional[tuple] = None
         self._last_ckpt_epoch = -1
+        self._write_run_manifest()
+
+    # ------------------------------------------------------------------
+    def _write_run_manifest(self):
+        """Persist the run's full configuration to workdir/run_config.json.
+
+        The reference's 'config' is module-level constants readable only in
+        the script that ran (gan_train_cwgangp_pixelnorm.py:51-114) — a
+        finished run directory cannot say what produced it.  Here every
+        workdir carries the complete ExperimentConfig plus the environment
+        (jax version/backend/device count), and a relaunch into the same
+        workdir with a DIFFERENT config gets a loud warning naming the
+        changed fields (a silent config drift across resume is how quality
+        regressions escape notice).  The current run's config always wins
+        and is written atomically."""
+        import dataclasses
+
+        path = os.path.join(self.workdir, "run_config.json")
+        # json round-trip normalizes tuples->lists so comparisons are fair
+        exp_dict = json.loads(json.dumps(dataclasses.asdict(self.exp)))
+        if os.path.exists(path):
+            try:
+                with open(path) as fh:
+                    prev = json.load(fh).get("experiment")
+            except Exception:
+                prev = None
+            if prev is not None and prev != exp_dict:
+                changed = _dict_diff(prev, exp_dict)
+                print(
+                    f"[trainer] WARNING: this workdir was written by a run "
+                    f"with a different config (changed: {', '.join(changed)});"
+                    f" run_config.json now records the current one",
+                    flush=True,
+                )
+        manifest = {
+            "experiment": exp_dict,
+            "prdisagg_tpu_version": __import__("prdisagg_tpu").__version__,
+            "jax_version": jax.__version__,
+            "backend": jax.default_backend(),
+            "n_devices": len(jax.devices()),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, path)
 
     # ------------------------------------------------------------------
     def maybe_resume(self) -> bool:

@@ -546,3 +546,39 @@ def test_tensorboard_sink_streams_metrics(tmp_path):
                                rtol=1e-6)
     assert [p.step for p in pts] == [1, 2, 3, 4]
     assert len(acc.Scalars("perf/steps_per_sec")) == 2  # one per epoch
+
+
+def test_run_manifest_written_and_drift_warned(tmp_path, capsys):
+    """Every Trainer workdir carries run_config.json — the full
+    ExperimentConfig + environment (the reference's config is module
+    constants readable only in the script that ran) — and relaunching
+    into the same workdir with a DIFFERENT config warns, naming the
+    changed fields."""
+    import json
+
+    workdir = str(tmp_path)
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32,
+                                                 seed=4)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    exp = _tiny_exp()
+    Trainer(exp, ds, workdir=workdir, use_mesh=False)
+    with open(os.path.join(workdir, "run_config.json")) as fh:
+        man = json.load(fh)
+    assert man["experiment"]["train"]["schedule"] == [[2, 4]]
+    assert man["experiment"]["name"] == "smoke"
+    assert man["n_devices"] >= 1 and "jax_version" in man
+    capsys.readouterr()
+
+    # same config relaunch: silent
+    Trainer(exp, ds, workdir=workdir, use_mesh=False)
+    assert "different config" not in capsys.readouterr().out
+
+    exp2 = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, n_disc=2, seed=4))
+    Trainer(exp2, ds, workdir=workdir, use_mesh=False)
+    out = capsys.readouterr().out
+    assert "different config" in out
+    assert "train.n_disc" in out and "train.seed" in out
+    with open(os.path.join(workdir, "run_config.json")) as fh:
+        man2 = json.load(fh)
+    assert man2["experiment"]["train"]["n_disc"] == 2  # current run wins
