@@ -408,6 +408,66 @@ def cmd_serve(args):
     print(f"served {served} requests; bye")
 
 
+def cmd_inspect(args):
+    """Describe a weight file: network kind, inferred architecture,
+    parameter count/bytes — host-only (no device, no model build).
+
+    The reference's weights are opaque .h5 blobs whose architecture lives
+    only in the training script's module constants
+    (gan_train_cwgangp_pixelnorm.py:51-114); here the shapes pin the
+    architecture (models/io.py infer_*_config), so any checkpoint is
+    self-describing."""
+    import dataclasses
+    import json
+
+    from prdisagg_tpu.models.io import (
+        infer_critic_config,
+        infer_generator_config,
+        load_keras_critic_h5,
+        load_keras_generator_h5,
+        load_params_npz,
+    )
+
+    path = args.weights
+    if path.endswith((".h5", ".hdf5")):
+        fmt = "keras-h5"
+        try:
+            params = load_keras_generator_h5(
+                path, n_cond_channels=args.n_cond_channels)
+        except Exception:
+            params = load_keras_critic_h5(path)
+    else:
+        fmt = "npz"
+        params = load_params_npz(path)
+    p = params["params"] if isinstance(params.get("params"), dict) else params
+    kind = "generator" if "latent_proj" in p else "critic"
+    if kind == "generator":
+        cfg = infer_generator_config(
+            params, n_cond_channels=args.n_cond_channels)
+    else:
+        cfg = infer_critic_config(params)
+
+    def shapes(tree):
+        return {k: shapes(v) if isinstance(v, dict) else
+                f"{list(np.shape(v))} {np.asarray(v).dtype}"
+                for k, v in tree.items()}
+
+    import jax
+
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(params)]
+    out = {
+        "path": path,
+        "format": fmt,
+        "network": kind,
+        "n_params": int(sum(l.size for l in leaves)),
+        "bytes": int(sum(l.nbytes for l in leaves)),
+        "inferred_config": dataclasses.asdict(cfg),
+    }
+    if args.layers:
+        out["layers"] = shapes(p)
+    print(json.dumps(out, indent=1))
+
+
 def cmd_download(args):
     from prdisagg_tpu.data.download import download_range
 
@@ -699,6 +759,20 @@ def build_parser():
     srv.add_argument("--watch-interval", type=float, default=5.0,
                      help="seconds between watch polls")
     srv.set_defaults(fn=cmd_serve)
+
+    ins = sub.add_parser(
+        "inspect",
+        help="describe a weight file (.h5/.npz): network kind, inferred "
+             "architecture, parameter count — host-only, no device")
+    ins.add_argument("--weights", required=True)
+    ins.add_argument("--n-cond-channels", dest="n_cond_channels", type=int,
+                     default=1,
+                     help="conditioning channels for generator inference "
+                          "(base 1, lon 2, doy 3 — not recoverable from "
+                          "generator shapes alone)")
+    ins.add_argument("--layers", action="store_true",
+                     help="also list per-layer shapes/dtypes")
+    ins.set_defaults(fn=cmd_inspect)
 
     d = sub.add_parser("download")
     d.add_argument("--start", default="20090101")

@@ -288,3 +288,34 @@ def test_cli_contradictory_precision_flags(tmp_path, monkeypatch):
     with pytest.raises(SystemExit, match="contradicts"):
         main(["train", "--synthetic", "--f32-parity",
               "--compute-dtype", "bfloat16", "--workdir", str(tmp_path)])
+
+
+def test_cli_inspect_describes_weights(tmp_path, capsys):
+    """`cli inspect` makes any checkpoint self-describing: network kind,
+    inferred architecture, and parameter count from the shapes alone
+    (the reference's .h5 blobs are readable only next to the training
+    script's constants)."""
+    import json
+
+    from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+    from prdisagg_tpu.models.io import save_keras_critic_h5, save_params_npz
+    from prdisagg_tpu.train import create_train_state
+
+    tiny = ModelConfig(ndomain=16, latent_dim=8, gen_channels=(8, 8, 8),
+                       base_channels=8, critic_channels=(8, 8, 8, 8))
+    state, _, _ = create_train_state(tiny, TrainConfig(seed=0))
+    gpath = str(tmp_path / "gen.npz")
+    save_params_npz(gpath, state.gen_params)
+    main(["inspect", "--weights", gpath, "--layers"])
+    r = json.loads(capsys.readouterr().out)
+    assert r["network"] == "generator" and r["format"] == "npz"
+    assert r["inferred_config"]["ndomain"] == 16
+    assert r["inferred_config"]["latent_dim"] == 8
+    assert r["n_params"] > 0 and "latent_proj" in r["layers"]
+
+    cpath = str(tmp_path / "disc.h5")
+    save_keras_critic_h5(cpath, state.critic_params, tiny)
+    main(["inspect", "--weights", cpath])
+    r = json.loads(capsys.readouterr().out)
+    assert r["network"] == "critic" and r["format"] == "keras-h5"
+    assert tuple(r["inferred_config"]["critic_channels"]) == (8, 8, 8, 8)
