@@ -252,10 +252,12 @@ class PretrainedGenerator:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _device_forward(self, lat, cnd) -> jax.Array:
+    def _device_forward(self, lat, cnd, params=None) -> jax.Array:
         """One jitted forward; batch-sharded SPMD when a mesh is configured
         (inputs placed with a batch-axis NamedSharding — the GSPMD
-        partitioner propagates it through the whole forward)."""
+        partitioner propagates it through the whole forward).  `params`
+        lets chunked callers pin one weight snapshot across their chunks
+        (see predict_fractions)."""
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -265,7 +267,8 @@ class PretrainedGenerator:
                 lat, NamedSharding(self.mesh, batch_spec(lat.ndim)))
             cnd = jax.device_put(
                 cnd, NamedSharding(self.mesh, batch_spec(cnd.ndim)))
-        return self._predict(self.params, lat, cnd)
+        return self._predict(self.params if params is None else params,
+                             lat, cnd)
 
     def predict_fractions(self, latent, cond_batch) -> jax.Array:
         """Raw generator output: (B, nhours, nd, nd, 1) fractions.
@@ -279,6 +282,11 @@ class PretrainedGenerator:
         n = latent.shape[0]
         mb = self.max_batch
         quantum = self.mesh.size if self.mesh is not None else 1
+        # ONE weight snapshot per request: a concurrent hot reload
+        # (reload_params) swaps self.params atomically, and an over-cap
+        # request chunked over max_batch must not mix weight versions
+        # across its chunks
+        params = self.params
 
         def run(lat, cnd, target):
             pad = target - lat.shape[0]
@@ -287,7 +295,7 @@ class PretrainedGenerator:
                                                       lat.dtype)])
                 cnd = jnp.concatenate([cnd, jnp.zeros((pad, *cnd.shape[1:]),
                                                       cnd.dtype)])
-            out = self._device_forward(lat, cnd)
+            out = self._device_forward(lat, cnd, params)
             return out[:target - pad] if pad else out
 
         if n <= mb:
