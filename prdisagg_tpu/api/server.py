@@ -607,6 +607,13 @@ class ScenarioServer:
             self.close()
         return self._served
 
+    def shutdown(self) -> None:
+        """Ask serve_forever to stop: finish in-flight requests, drain the
+        batcher, join the watcher, close and unlink the socket.  Signal-safe
+        (only sets a flag — the accept loop polls it at 1 s granularity), so
+        a SIGTERM handler can call it for clean daemon stops."""
+        self._shutdown = True
+
     def close(self) -> None:
         self._sock.close()
         if os.path.exists(self.socket_path):

@@ -404,6 +404,20 @@ def cmd_serve(args):
     watching = f", watching {args.watch}" if args.watch else ""
     print(f"serving {args.weights} (ndomain={gen.cfg.ndomain}) "
           f"on {args.socket_path}{watching}", flush=True)
+    import threading
+
+    if threading.current_thread() is threading.main_thread():
+        # clean daemon stop (systemd / supervisor SIGTERM, ctrl-C): finish
+        # in-flight requests, drain, unlink the socket — instead of dying
+        # mid-response with a stale socket file left behind
+        import signal
+
+        def _stop(signum, frame):
+            print(f"[serve] signal {signum}: shutting down", flush=True)
+            server.shutdown()
+
+        signal.signal(signal.SIGTERM, _stop)
+        signal.signal(signal.SIGINT, _stop)
     served = server.serve_forever(max_requests=args.max_requests)
     print(f"served {served} requests; bye")
 

@@ -319,3 +319,43 @@ def test_cli_inspect_describes_weights(tmp_path, capsys):
     r = json.loads(capsys.readouterr().out)
     assert r["network"] == "critic" and r["format"] == "keras-h5"
     assert tuple(r["inferred_config"]["critic_channels"]) == (8, 8, 8, 8)
+
+
+def test_cli_serve_sigterm_clean_shutdown(tmp_path):
+    """SIGTERM stops the daemon cleanly: in-flight work drains, the socket
+    file is unlinked, the process exits 0 with the served-count farewell
+    (a supervisor stop must not leave a stale socket or kill mid-response)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from prdisagg_tpu.api.server import request
+    from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+    from prdisagg_tpu.models.io import save_params_npz
+    from prdisagg_tpu.train import create_train_state
+
+    tiny = ModelConfig(ndomain=16, latent_dim=8, gen_channels=(8, 8, 8),
+                       base_channels=8, critic_channels=(8, 8, 8, 8))
+    state, _, _ = create_train_state(tiny, TrainConfig(seed=9))
+    wpath = str(tmp_path / "gen.npz")
+    save_params_npz(wpath, state.gen_params)
+    sock = str(tmp_path / "s.sock")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "prdisagg_tpu.cli", "serve",
+         "--weights", wpath, "--socket", sock, "--warm", "none"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline and not os.path.exists(sock):
+            time.sleep(0.2)
+        assert request(sock, {"cmd": "ping"}, timeout=60)["ok"]
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert "shutting down" in out and "bye" in out
+    assert not os.path.exists(sock)  # no stale socket file

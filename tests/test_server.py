@@ -545,3 +545,21 @@ def test_request_lines_share_one_connection(tmp_path):
     assert len(lines) == 3 and all(r["ok"] for r in lines)
     thread.join(timeout=30)
     assert not thread.is_alive()
+
+
+def test_reload_params_under_mesh_stays_replicated():
+    """Hot reload on a DP-serving generator re-replicates the new weights
+    over the mesh; sharded output equals a fresh single-device generator
+    with the same weights and key chain."""
+    from prdisagg_tpu.parallel import make_mesh
+
+    state_a, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    state_b, _, _ = create_train_state(TINY, TrainConfig(seed=1))
+    mesh = make_mesh(4)
+    pg = PretrainedGenerator(state_a.gen_params, TINY, seed=13, mesh=mesh)
+    pg.reload_params(state_b.gen_params)
+    cond = np.full((16, 16), 6.0, np.float32)
+    got = pg.generate_scenarios(cond, 3)
+    ref = PretrainedGenerator(state_b.gen_params, TINY, seed=13)
+    np.testing.assert_allclose(got, ref.generate_scenarios(cond, 3),
+                               rtol=1e-5, atol=1e-6)
