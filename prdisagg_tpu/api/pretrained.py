@@ -248,6 +248,31 @@ class PretrainedGenerator:
         return time.perf_counter() - t0
 
     # -- inference ------------------------------------------------------------
+    def _normalize_cond(self, cond: np.ndarray) -> np.ndarray:
+        """Channel-aware conditioning normalization.
+
+        Channel 0 is the daily precipitation sum in mm, divided by
+        norm_scale (reference raindisagg_gan_pretrained.py:54); any extra
+        variant channels — doy sin/cos, normalized lon index — arrive
+        already in their natural ranges (exactly what the training sampler
+        feeds, data/sampler.py::_extra_cond_channels) and pass through
+        untouched.  Accepts any leading dims; a missing channel axis is
+        added for the base 1-channel case."""
+        if cond.ndim == 2 or (cond.ndim == 3
+                              and self.cfg.n_cond_channels == 1
+                              and cond.shape[-1] != 1):
+            # (nd, nd) map or (K, nd, nd) stack of base maps
+            cond = cond[..., None]
+        if cond.shape[-1] != self.cfg.n_cond_channels:
+            raise ValueError(
+                f"cond has {cond.shape[-1]} channels where this generator "
+                f"needs {self.cfg.n_cond_channels} (channel 0 = daily sums "
+                f"in mm; extra channels per the variant's scheme, "
+                "data/sampler.py)")
+        norm = cond.astype(np.float32).copy()
+        norm[..., 0] /= self.norm_scale
+        return norm
+
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
@@ -310,13 +335,12 @@ class PretrainedGenerator:
     ) -> np.ndarray:
         """Reference semantics (raindisagg_gan_pretrained.py:52-65).
 
-        cond: (nd, nd) or (nd, nd, 1) daily precipitation sums in mm.
-        Returns (n_scenarios, nhours, nd, nd) hourly precipitation in mm.
+        cond: (nd, nd) or (nd, nd, C) daily precipitation sums in mm
+        (channel 0; variant generators take their extra conditioning
+        channels after it).  Returns (n_scenarios, nhours, nd, nd) hourly
+        precipitation in mm.
         """
-        cond = np.asarray(cond, dtype=np.float32)
-        if cond.ndim == 2:
-            cond = cond[..., None]
-        cond_norm = cond / self.norm_scale
+        cond_norm = self._normalize_cond(np.asarray(cond, dtype=np.float32))
         if latent is None:
             latent = jax.random.normal(
                 self._next_key(), (n_scenarios, self.cfg.latent_dim)
@@ -327,7 +351,7 @@ class PretrainedGenerator:
         fractions = np.asarray(self.predict_fractions(latent, cond_batch))
         fractions = fractions.squeeze(-1)
         # fractions -> mm/h: multiply by the (unnormalized) daily sum
-        return fractions * cond_norm.squeeze(-1)[None, None] * self.norm_scale
+        return fractions * cond_norm[..., 0][None, None] * self.norm_scale
 
     def generate_scenarios_batch(
         self, conds: np.ndarray, n_scenarios: int,
@@ -335,7 +359,8 @@ class PretrainedGenerator:
     ) -> np.ndarray:
         """Serve MANY conditions in one fused forward.
 
-        conds: (K, nd, nd) or (K, nd, nd, 1) daily precipitation sums in mm.
+        conds: (K, nd, nd) or (K, nd, nd, C) daily precipitation sums in mm
+        (channel 0; variant generators take their extra channels after it).
         Returns (K, n_scenarios, nhours, nd, nd) hourly precipitation in mm
         — row k equals ``generate_scenarios(conds[k], n_scenarios)`` up to
         the latent draw.
@@ -346,11 +371,9 @@ class PretrainedGenerator:
         1000-batch rate, docs/PERF.md) while `max_batch` chunking keeps HBM
         bounded for any K.
         """
-        conds = np.asarray(conds, dtype=np.float32)
-        if conds.ndim == 3:
-            conds = conds[..., None]
-        k = conds.shape[0]
-        cond_norm = conds / self.norm_scale            # (K, nd, nd, 1)
+        cond_norm = self._normalize_cond(
+            np.asarray(conds, dtype=np.float32))   # (K, nd, nd, C)
+        k = cond_norm.shape[0]
         if latent is None:
             latent = jax.random.normal(
                 self._next_key(), (k * n_scenarios, self.cfg.latent_dim)
@@ -359,7 +382,8 @@ class PretrainedGenerator:
         fractions = np.asarray(
             self.predict_fractions(latent, cond_batch)).squeeze(-1)
         fractions = fractions.reshape(k, n_scenarios, *fractions.shape[1:])
-        return fractions * conds.squeeze(-1)[:, None, None]
+        return (fractions
+                * cond_norm[..., 0][:, None, None] * self.norm_scale)
 
     def generate_scenarios_multi(
         self, conds: list, n_list: list,
@@ -390,10 +414,8 @@ class PretrainedGenerator:
                              "non-empty")
         norm, counts = [], []
         for cond, n in zip(conds, n_list):
-            cond = np.asarray(cond, dtype=np.float32)
-            if cond.ndim == 2:
-                cond = cond[..., None]
-            norm.append(cond / self.norm_scale)
+            norm.append(self._normalize_cond(
+                np.asarray(cond, dtype=np.float32)))
             counts.append(int(n))
         total = sum(counts)
         target = min(_bucket(total), self.max_batch)
@@ -413,7 +435,7 @@ class PretrainedGenerator:
         outs, i0 = [], 0
         for cn, n in zip(norm, counts):
             outs.append(fractions[i0:i0 + n]
-                        * cn.squeeze(-1)[None, None] * self.norm_scale)
+                        * cn[..., 0][None, None] * self.norm_scale)
             i0 += n
         return outs
 

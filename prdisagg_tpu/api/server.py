@@ -362,16 +362,22 @@ class ScenarioServer:
                     "error": f"unknown encoding {encoding!r} "
                              "(expected 'list' or 'b64')"}
         nd = self.generator.cfg.ndomain
+        nc = self.generator.cfg.n_cond_channels
+        # base (nc == 1) keeps the channel-less forms; variant generators
+        # (doy nc=3, lon nc=2) need explicit channels-last conditioning
         is_map = cond.shape[:2] == (nd, nd) and (
-            cond.ndim == 2 or (cond.ndim == 3 and cond.shape[2] == 1))
-        is_stack = ((cond.ndim == 3 and cond.shape[1:] == (nd, nd)) or (
-            cond.ndim == 4 and cond.shape[1:] == (nd, nd, 1))
+            (cond.ndim == 2 and nc == 1)
+            or (cond.ndim == 3 and cond.shape[2] == nc))
+        is_stack = ((cond.ndim == 3 and nc == 1
+                     and cond.shape[1:] == (nd, nd)) or (
+            cond.ndim == 4 and cond.shape[1:] == (nd, nd, nc))
         ) and cond.shape[0] >= 1
         if not (is_map or is_stack):
+            ch = "[, 1]" if nc == 1 else f", {nc}"
             return {"ok": False,
                     "error": f"cond shape {cond.shape} is neither one "
-                             f"({nd}, {nd})[, 1] map nor a "
-                             f"(K, {nd}, {nd})[, 1] stack"}
+                             f"({nd}, {nd}{ch}) map nor a "
+                             f"(K, {nd}, {nd}{ch}) stack"}
         return cond, n, is_stack, encoding, req.get("out")
 
     def _encode_response(self, scenarios, encoding, out, seconds) -> dict:

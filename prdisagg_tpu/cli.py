@@ -193,6 +193,9 @@ def _load_generator(args, model_cfg=None, **kw):
     if args.weights is None:
         return None
     kw.setdefault("mesh", _dp_mesh(args))
+    # variant weights (doy/lon) need the channel count for architecture
+    # inference — not recoverable from generator shapes alone (models/io)
+    kw.setdefault("n_cond_channels", getattr(args, "n_cond_channels", 1))
     if args.weights.endswith(".h5"):
         return PretrainedGenerator.from_keras_h5(args.weights, model_cfg, **kw)
     return PretrainedGenerator.from_npz(args.weights, model_cfg, **kw)
@@ -348,9 +351,14 @@ def cmd_generate(args):
     batch-8000 throughput peak."""
     gen = _load_generator(args, seed=args.seed, max_batch=args.max_batch)
     conds = np.load(args.conds)
-    single = conds.ndim == 2 or (conds.ndim == 3
-                                 and conds.shape[-1] == 1
-                                 and conds.shape[0] == conds.shape[1])
+    if gen.cfg.n_cond_channels == 1:
+        single = conds.ndim == 2 or (conds.ndim == 3
+                                     and conds.shape[-1] == 1
+                                     and conds.shape[0] == conds.shape[1])
+    else:
+        # variant conds are channels-last: one (nd, nd, C) map vs a
+        # (K, nd, nd, C) stack is unambiguous by rank
+        single = conds.ndim == 3
     if single:
         scen = gen.generate_scenarios(conds, args.n_scenarios)
         daily = conds if conds.ndim == 2 else conds[..., 0]
@@ -733,6 +741,12 @@ def build_parser():
                    help="shard the scenario batch data-parallel over the "
                         "first N devices (params replicated; per-sample "
                         "output identical to single-device)")
+    g.add_argument("--n-cond-channels", dest="n_cond_channels", type=int,
+                   default=1,
+                   help="conditioning channels of the weights (base 1, "
+                        "lon 2, doy 3); conds then carry the extra "
+                        "channels after the mm daily sums: (nd,nd,C) / "
+                        "(K,nd,nd,C)")
     g.set_defaults(fn=cmd_generate)
 
     srv = sub.add_parser(
@@ -772,6 +786,11 @@ def build_parser():
                           "for continuous deployment)")
     srv.add_argument("--watch-interval", type=float, default=5.0,
                      help="seconds between watch polls")
+    srv.add_argument("--n-cond-channels", dest="n_cond_channels", type=int,
+                     default=1,
+                     help="conditioning channels of the weights (base 1, "
+                          "lon 2, doy 3); requests then send (nd,nd,C) "
+                          "maps / (K,nd,nd,C) stacks")
     srv.set_defaults(fn=cmd_serve)
 
     ins = sub.add_parser(

@@ -563,3 +563,49 @@ def test_reload_params_under_mesh_stays_replicated():
     ref = PretrainedGenerator(state_b.gen_params, TINY, seed=13)
     np.testing.assert_allclose(got, ref.generate_scenarios(cond, 3),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_variant_generator_serves_multichannel_conds(tmp_path):
+    """doy-variant weights (3 conditioning channels) serve through the
+    whole stack: channel 0 stays the conserved mm daily sum, extra
+    channels pass through un-normalized (the sampler's semantics), and
+    the daemon accepts (nd, nd, 3) maps / (K, nd, nd, 3) stacks while
+    rejecting channel-less conds with the channel count in the error."""
+    tiny3 = ModelConfig(ndomain=16, latent_dim=8, n_cond_channels=3,
+                        gen_channels=(8, 8, 8), base_channels=8,
+                        critic_channels=(8, 8, 8, 8))
+    state, _, _ = create_train_state(tiny3, TrainConfig(seed=0))
+    pg = PretrainedGenerator(state.gen_params, tiny3, seed=5)
+    rng = np.random.RandomState(3)
+    daily = rng.gamma(2.0, 5.0, (16, 16)).astype(np.float32)
+    angle = 2 * np.pi * 120 / 365.0
+    cond = np.stack([daily,
+                     np.full((16, 16), np.sin(angle), np.float32),
+                     np.full((16, 16), np.cos(angle), np.float32)], axis=-1)
+    scen = pg.generate_scenarios(cond, 3)
+    assert scen.shape == (3, 24, 16, 16)
+    np.testing.assert_allclose(
+        scen.sum(axis=1), np.broadcast_to(daily, (3, 16, 16)), rtol=1e-3)
+    with pytest.raises(ValueError, match="channels"):
+        pg.generate_scenarios(daily, 2)  # missing the variant channels
+
+    sock = str(tmp_path / "v.sock")
+    server = ScenarioServer(pg, sock)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        r = request(sock, {"cond": cond.tolist(), "n_scenarios": 2,
+                           "encoding": "b64"})
+        assert r["ok"] and r["shape"] == [2, 24, 16, 16]
+        np.testing.assert_allclose(
+            scenarios_array(r).sum(axis=1),
+            np.broadcast_to(daily, (2, 16, 16)), rtol=1e-3)
+        stack = np.stack([cond, cond])
+        r2 = request(sock, {"cond": stack.tolist(), "n_scenarios": 2,
+                            "encoding": "b64"})
+        assert r2["ok"] and r2["shape"] == [2, 2, 24, 16, 16]
+        bad = request(sock, {"cond": daily.tolist(), "n_scenarios": 1})
+        assert not bad["ok"] and ", 3) map" in bad["error"]
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        thread.join(timeout=30)
