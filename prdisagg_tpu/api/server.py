@@ -40,7 +40,10 @@ a newer `gen_*.h5`/`gen_*.npz` appears — the Trainer's per-epoch export
 layout, trained_models/<name>/), hot-swapping via the same validated
 reload path.  Training and serving compose into continuous deployment:
 point --watch at the training run's export directory and every epoch is
-live seconds after its atomic export lands.  A file that fails to load
+live seconds after its atomic export lands.  `gen_*` also matches the
+`gen_ema_*` exports; with EMA training on, the EMA file is written last
+each epoch and therefore wins — the measured-better serving choice
+(docs/PERF.md).  A file that fails to load
 (wrong architecture, torn write from a non-atomic producer) is refused,
 logged, and retried on the next change; the old weights keep serving.
 
