@@ -35,11 +35,25 @@ DEFAULT_W = (
 )
 
 
-def wait_ready(sock=SOCK, timeout=1800):
+def wait_ready(sock=SOCK, timeout=1800, srv=None, log_path=None):
+    """Poll the daemon socket; fail FAST if the daemon process died.
+
+    The session-10 on-chip run burned the full 30 min here because the
+    daemon had crashed at startup (missing weights file) and the poll
+    loop only watched the socket.
+    """
     from prdisagg_tpu.api.server import request
 
     t0 = time.time()
     while time.time() - t0 < timeout:
+        if srv is not None and srv.poll() is not None:
+            tail = ""
+            if log_path and os.path.exists(log_path):
+                with open(log_path, errors="replace") as fh:
+                    tail = "".join(fh.readlines()[-15:])
+            raise RuntimeError(
+                f"serve daemon exited rc={srv.returncode} before ready; "
+                f"log tail:\n{tail}")
         if os.path.exists(sock):
             try:
                 if request(sock, {"cmd": "ping"}, timeout=60).get("pong"):
@@ -50,10 +64,48 @@ def wait_ready(sock=SOCK, timeout=1800):
     raise TimeoutError(f"server on {sock} never became ready")
 
 
+FIXTURE_W = "artifacts/serve_bench_fixture/gen_fixture.h5"
+
+_MAKE_FIXTURE = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import os, sys
+sys.path.insert(0, %(repo)r)
+from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+from prdisagg_tpu.train.state import create_train_state
+from prdisagg_tpu.models.io import save_keras_generator_h5
+cfg = ModelConfig()
+state, gen, critic = create_train_state(cfg, TrainConfig(), seed=20)
+os.makedirs(os.path.dirname(%(path)r), exist_ok=True)
+save_keras_generator_h5(%(path)r, state.gen_params, cfg)
+print("fixture written:", %(path)r)
+"""
+
+
+def ensure_weights(weights):
+    """Fall back to a deterministic random-init fixture if `weights` is gone.
+
+    Serving throughput/latency do not depend on the weight VALUES, and
+    conservation holds by construction (hour_softmax), so a seed-20
+    random-init export benches the daemon identically to a trained
+    checkpoint.  Synthesized in a CPU subprocess so this process never
+    touches the TPU (the daemons own the chip).
+    """
+    if os.path.exists(weights):
+        return weights
+    print(f"# weights {weights} missing; using fixture {FIXTURE_W}",
+          file=sys.stderr)
+    if not os.path.exists(FIXTURE_W):
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        code = _MAKE_FIXTURE % {"repo": repo, "path": FIXTURE_W}
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=600)
+    return FIXTURE_W
+
+
 def main():
     argv = [a for a in sys.argv[1:] if a != "--smoke"]
     smoke = "--smoke" in sys.argv[1:]  # tiny counts: validate the script
-    weights = argv[0] if argv else DEFAULT_W
+    weights = ensure_weights(argv[0] if argv else DEFAULT_W)
     n_lat1, n_lat100, n_sus, n_conds, n_scen = (
         (5, 3, 3, 5, 10) if smoke else (50, 20, 20, 100, 100))
     from prdisagg_tpu.api.server import request
@@ -67,7 +119,7 @@ def main():
     res = {"weights": os.path.basename(weights)}
     try:
         t0 = time.time()
-        wait_ready()
+        wait_ready(srv=srv, log_path="/tmp/serve_bench_daemon.log")
         res["startup_seconds"] = round(time.time() - t0, 1)
 
         rng = np.random.RandomState(7)
@@ -201,7 +253,7 @@ def _concurrency_stage(weights, window_ms, n_threads, n_each):
             stdout=log, stderr=subprocess.STDOUT,
         )
         try:
-            wait_ready(sock)
+            wait_ready(sock, srv=srv, log_path="/tmp/serve_bench_conc.log")
             rng = np.random.RandomState(11)
             cond = (np.abs(rng.rand(16, 16)) * 20.0).astype(
                 np.float32).tolist()
