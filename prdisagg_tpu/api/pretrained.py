@@ -269,6 +269,15 @@ class PretrainedGenerator:
                 f"needs {self.cfg.n_cond_channels} (channel 0 = daily sums "
                 f"in mm; extra channels per the variant's scheme, "
                 "data/sampler.py)")
+        nd = self.cfg.ndomain
+        if cond.shape[-3:-1] != (nd, nd):
+            # catches e.g. a (nd, nd, 3) array fed to a 1-channel generator,
+            # which the heuristic above would otherwise expand into a
+            # nonsense (nd, nd, 3, 1) "stack" that fails far downstream
+            raise ValueError(
+                f"cond shape {cond.shape} does not end in "
+                f"({nd}, {nd}, {self.cfg.n_cond_channels}) — expected one "
+                f"conditioning map or a (K, ...) stack of them")
         norm = cond.astype(np.float32).copy()
         norm[..., 0] /= self.norm_scale
         return norm

@@ -456,8 +456,14 @@ def cmd_inspect(args):
         try:
             params = load_keras_generator_h5(
                 path, n_cond_channels=args.n_cond_channels)
-        except Exception:
-            params = load_keras_critic_h5(path)
+        except Exception as gen_err:
+            try:
+                params = load_keras_critic_h5(path)
+            except Exception as critic_err:
+                sys.exit(
+                    f"cannot read {path} as a generator "
+                    f"({type(gen_err).__name__}: {gen_err}) or a critic "
+                    f"({type(critic_err).__name__}: {critic_err})")
     else:
         fmt = "npz"
         params = load_params_npz(path)

@@ -222,6 +222,25 @@ def test_generate_scenarios_semantics():
     assert not np.allclose(scen[0], scen[1])
 
 
+def test_normalize_cond_rejects_wrong_spatial_dims():
+    """A (nd, nd, 3) array fed to a 1-channel generator must fail loudly
+    at normalization, not as a shape error deep inside the forward (the
+    channel-add heuristic would otherwise turn it into a nonsense
+    (nd, nd, 3, 1) 'stack')."""
+    import pytest
+
+    state, gen, _ = create_train_state(TINY, TrainConfig())
+    pg = PretrainedGenerator(state.gen_params, TINY)
+
+    with pytest.raises(ValueError, match="does not end in"):
+        pg.generate_scenarios(np.ones((16, 16, 3), np.float32), 2)
+    with pytest.raises(ValueError, match="does not end in"):
+        pg.generate_scenarios_batch(np.ones((4, 16, 12, 1), np.float32), 2)
+    # legit shapes still pass through
+    assert pg.generate_scenarios_batch(
+        np.ones((2, 16, 16), np.float32) * 5.0, 2).shape == (2, 2, 24, 16, 16)
+
+
 def test_warm_compiles_without_consuming_the_key_chain():
     """warm() pre-compiles request shapes ('max' = the max_batch chunk
     shape, ints at their rounded device shape) on throwaway inputs: a

@@ -321,6 +321,16 @@ def test_cli_inspect_describes_weights(tmp_path, capsys):
     assert tuple(r["inferred_config"]["critic_channels"]) == (8, 8, 8, 8)
 
 
+def test_cli_inspect_unreadable_h5_reports_both_errors(tmp_path):
+    """A file that is neither a generator nor a critic exits with BOTH
+    load errors instead of a bare critic traceback (the generator error —
+    usually the informative one — was previously swallowed)."""
+    bad = tmp_path / "bad.h5"
+    bad.write_bytes(b"not an hdf5 file")
+    with pytest.raises(SystemExit, match="as a generator"):
+        main(["inspect", "--weights", str(bad)])
+
+
 def test_cli_serve_sigterm_clean_shutdown(tmp_path):
     """SIGTERM stops the daemon cleanly: in-flight work drains, the socket
     file is unlinked, the process exits 0 with the served-count farewell
