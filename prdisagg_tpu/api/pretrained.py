@@ -240,7 +240,8 @@ class PretrainedGenerator:
         for n in sorted(set(targets)):
             lat = jnp.zeros((n, self.cfg.latent_dim), jnp.float32)
             cnd = jnp.zeros(
-                (n, self.cfg.ndomain, self.cfg.ndomain, 1), jnp.float32)
+                (n, self.cfg.ndomain, self.cfg.ndomain,
+                 self.cfg.n_cond_channels), jnp.float32)
             out = self._device_forward(lat, cnd)
             # fetch one dependent scalar: on the tunneled platform
             # block_until_ready returns before execution finishes

@@ -101,6 +101,30 @@ INLINE_CAP = 2_000_000
 B64_CAP = 1 << 25
 
 
+def watch_signature(path: str):
+    """(mtime_ns, path) of a watched weight file, or of the newest gen_*
+    weight export in a watched directory (the Trainer's per-epoch layout);
+    None while nothing matches.  Module-level so a daemon launcher can
+    capture the baseline at WEIGHT-LOAD time — startup warm compiles run
+    30 s-10 min through the tunneled TPU, and an export landing inside that
+    window must still trigger the first watcher reload."""
+    try:
+        if os.path.isdir(path):
+            import glob as _glob
+
+            cands = [f for pat in ("gen_*.h5", "gen_*.npz")
+                     for f in _glob.glob(os.path.join(path, pat))]
+            if not cands:
+                return None
+            return max((os.stat(f).st_mtime_ns, f) for f in cands)
+        return (os.stat(path).st_mtime_ns, path)
+    except OSError:  # vanished between glob and stat, or no file yet
+        return None
+
+
+_BASELINE_NOW = object()  # sentinel: capture the watch baseline in __init__
+
+
 class _Pending:
     """One scenario request waiting in the micro-batch queue."""
 
@@ -134,10 +158,11 @@ class ScenarioServer:
     requests were batched together — with the window at 0 (default) the
     daemon keeps the sequential per-request key chain exactly."""
 
-    def __init__(self, generator, socket_path: str, backlog: int = 8,
+    def __init__(self, generator, socket_path: str, backlog: int = 128,
                  batch_window_ms: float = 0.0,
                  watch_path: Optional[str] = None,
-                 watch_interval_s: float = 5.0):
+                 watch_interval_s: float = 5.0,
+                 watch_baseline=_BASELINE_NOW):
         self.generator = generator
         self.socket_path = socket_path
         if os.path.exists(socket_path):
@@ -151,7 +176,12 @@ class ScenarioServer:
         # CONNECTION gets its own thread so a stalled client's socket
         # timeout never blocks other clients
         self._compute_lock = threading.Lock()
-        self._served = 0  # mutated under _compute_lock only
+        # admission gets its own lock: the check+count must be atomic, but
+        # it must never wait behind a long forward holding _compute_lock —
+        # control commands (stats: the SLA probe) are admitted and answered
+        # DURING compute
+        self._admission_lock = threading.Lock()
+        self._served = 0  # mutated under _admission_lock only
         # observability (cmd "stats"): counters + a latency ring buffer of
         # recent scenario requests, guarded by their own lock so recording
         # never contends with compute
@@ -174,14 +204,20 @@ class ScenarioServer:
             self._batcher = threading.Thread(
                 target=self._batcher_loop, daemon=True)
             self._batcher.start()
-        # weight watching: the signature is taken NOW, before the thread
-        # starts — the generator was just loaded, so only files landing
-        # AFTER construction trigger a reload
+        # weight watching: the baseline signature marks what the served
+        # weights already reflect.  Launchers that load weights long before
+        # constructing the server (cli serve warms compiles for minutes in
+        # between) pass the signature captured at LOAD time, so an export
+        # landing inside that window still triggers the first reload;
+        # direct constructions default to "now" (the generator was just
+        # loaded).
         self._watch_path = watch_path
         self._watch_interval = watch_interval_s
         self._watcher = None
         if watch_path is not None:
-            self._watch_sig = self._watch_signature()
+            self._watch_sig = (self._watch_signature()
+                               if watch_baseline is _BASELINE_NOW
+                               else watch_baseline)
             self._watcher = threading.Thread(
                 target=self._watcher_loop, daemon=True)
             self._watcher.start()
@@ -286,22 +322,7 @@ class ScenarioServer:
 
     # -- weight watching ---------------------------------------------------------
     def _watch_signature(self):
-        """(mtime_ns, path) of the watched file, or of the newest gen_*
-        weight export in the watched directory (the Trainer's per-epoch
-        layout); None while nothing matches."""
-        p = self._watch_path
-        try:
-            if os.path.isdir(p):
-                import glob as _glob
-
-                cands = [f for pat in ("gen_*.h5", "gen_*.npz")
-                         for f in _glob.glob(os.path.join(p, pat))]
-                if not cands:
-                    return None
-                return max((os.stat(f).st_mtime_ns, f) for f in cands)
-            return (os.stat(p).st_mtime_ns, p)
-        except OSError:  # vanished between glob and stat, or no file yet
-            return None
+        return watch_signature(self._watch_path)
 
     def _watcher_loop(self) -> None:
         """Poll the watch path and hot-swap when a newer weight file
@@ -525,7 +546,7 @@ class ScenarioServer:
                     continue
                 # admission is atomic (check + count under one lock), so
                 # max_requests bounds total served even across connections
-                with self._compute_lock:
+                with self._admission_lock:
                     stop = self._shutdown or (
                         max_requests is not None
                         and self._served >= max_requests)
@@ -536,6 +557,10 @@ class ScenarioServer:
                     break
                 try:
                     req = json.loads(line)
+                    if not isinstance(req, dict):
+                        raise TypeError(
+                            f"request must be a JSON object, got "
+                            f"{type(req).__name__}")
                 except Exception as err:  # noqa: BLE001 — serve on
                     req = None
                     resp = {"ok": False,
@@ -550,12 +575,20 @@ class ScenarioServer:
                             # encodes) — including {"cmd": null, "cond": ...},
                             # which must not race the batcher's key chain
                             resp = self._submit_batched(req)
-                        else:
+                        elif is_scenario:
                             # compute + the generator key chain are
                             # single-file; the sendall below is NOT, so a
                             # slow reader only delays itself
                             with self._compute_lock:
                                 resp = self.handle_request(req)
+                        else:
+                            # control commands never wait on compute: stats
+                            # must answer DURING a long forward (it is the
+                            # SLA probe), and reload's swap is one atomic
+                            # assignment an in-flight forward never sees
+                            # half-done (reload_params) — the watcher already
+                            # runs the identical path lock-free
+                            resp = self.handle_request(req)
                     except Exception as err:  # noqa: BLE001 — serve on
                         resp = {"ok": False,
                                 "error": f"{type(err).__name__}: {err}"}
@@ -647,10 +680,26 @@ def scenarios_array(resp: dict) -> np.ndarray:
 
 
 def request(socket_path: str, req: dict, timeout: float = 600.0) -> dict:
-    """One-shot client: send a request line, return the parsed response."""
+    """One-shot client: send a request line, return the parsed response.
+
+    Connect is retried on a full listen backlog: `settimeout` makes the
+    socket non-blocking, so a burst of concurrent clients (more than the
+    daemon's backlog connecting in the same instant) surfaces EAGAIN from
+    `connect` instead of queueing — observed on-chip with 32 simultaneous
+    1-scenario clients (artifacts/exp_serve_bench).  Only EAGAIN retries
+    (bounded by the request timeout): ECONNREFUSED means a dead daemon
+    behind a stale socket file and must fail fast."""
     with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
         s.settimeout(timeout)
-        s.connect(socket_path)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                s.connect(socket_path)
+                break
+            except (BlockingIOError, InterruptedError):
+                if time.monotonic() >= deadline:
+                    raise
+                time.sleep(0.05)
         s.sendall(json.dumps(req).encode() + b"\n")
         buf = b""
         while not buf.endswith(b"\n"):

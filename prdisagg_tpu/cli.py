@@ -392,7 +392,12 @@ def cmd_serve(args):
     """Persistent serving daemon: load once, pin weights on device, answer
     newline-JSON requests over a Unix socket until a shutdown request."""
     from prdisagg_tpu.api import ScenarioServer
+    from prdisagg_tpu.api.server import watch_signature
 
+    # capture the watch baseline BEFORE loading/warming: the warm compiles
+    # below can run 30 s-10 min through the tunneled TPU, and a weight
+    # export landing in that window must still trigger the first reload
+    baseline = watch_signature(args.watch) if args.watch else None
     gen = _load_generator(args, seed=args.seed, max_batch=args.max_batch)
     if args.warm == "max" and args.batch_window_ms > 0:
         # micro-batching pads fused totals to bucket shapes; warm the
@@ -408,7 +413,8 @@ def cmd_serve(args):
     server = ScenarioServer(gen, args.socket_path,
                             batch_window_ms=args.batch_window_ms,
                             watch_path=args.watch,
-                            watch_interval_s=args.watch_interval)
+                            watch_interval_s=args.watch_interval,
+                            watch_baseline=baseline)
     watching = f", watching {args.watch}" if args.watch else ""
     print(f"serving {args.weights} (ndomain={gen.cfg.ndomain}) "
           f"on {args.socket_path}{watching}", flush=True)

@@ -78,7 +78,7 @@ cfg = ModelConfig()
 state, gen, critic = create_train_state(cfg, TrainConfig(), seed=20)
 os.makedirs(os.path.dirname(%(path)r), exist_ok=True)
 save_keras_generator_h5(%(path)r, state.gen_params, cfg)
-print("fixture written:", %(path)r)
+print("fixture written:", %(path)r, file=sys.stderr)
 """
 
 
@@ -98,7 +98,10 @@ def ensure_weights(weights):
     if not os.path.exists(FIXTURE_W):
         repo = os.path.join(os.path.dirname(__file__), "..")
         code = _MAKE_FIXTURE % {"repo": repo, "path": FIXTURE_W}
-        subprocess.run([sys.executable, "-c", code], check=True, timeout=600)
+        # stdout routed to stderr: this script's stdout is ONE JSON block
+        # (artifacts/exp_serve_bench.txt is json.loads'd by the queue gate)
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=600,
+                       stdout=sys.stderr)
     return FIXTURE_W
 
 

@@ -62,7 +62,13 @@ if [ -f artifacts/.queue_s10_bench_warm_done ] \
     LOG "stage serve-bench"
     timeout 7200 python scripts/exp_serve_bench.py \
         > artifacts/exp_serve_bench.txt 2>&1 \
-        && python -c "import json; r = json.load(open('artifacts/exp_serve_bench.txt')); assert 'requests_per_sec' in r['concurrent_1scen_window8ms']" \
+        && python -c "
+import json
+# stderr is merged into the artifact (fixture notices land first):
+# parse the JSON block starting at the first '{' line
+txt = open('artifacts/exp_serve_bench.txt').read()
+r = json.loads(txt[txt.index('{'):])
+assert 'requests_per_sec' in r['concurrent_1scen_window8ms']" \
         && touch artifacts/.queue_s10_serve_done \
         || LOG "stage serve-bench FAILED (see artifacts/exp_serve_bench.txt)"
 fi

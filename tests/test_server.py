@@ -609,3 +609,144 @@ def test_variant_generator_serves_multichannel_conds(tmp_path):
     finally:
         request(sock, {"cmd": "shutdown"}, timeout=10)
         thread.join(timeout=30)
+
+
+def test_non_dict_json_gets_error_response_and_connection_survives():
+    """Valid JSON that is not an object ([1,2], "x", 42) must produce an
+    {"ok": false} response on the SAME connection, not an AttributeError
+    that kills the handler thread (regression: moving req.get("cmd") out
+    of the try block closed the connection with 0 bytes sent)."""
+    import socket as socketlib
+    import tempfile
+
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    sock_path = tempfile.mktemp(suffix=".sock")
+    server = ScenarioServer(
+        PretrainedGenerator(state.gen_params, TINY), sock_path)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with socketlib.socket(socketlib.AF_UNIX,
+                              socketlib.SOCK_STREAM) as s:
+            s.settimeout(60)
+            s.connect(sock_path)
+            s.sendall(b'[1, 2, 3]\n"just a string"\n{"cmd": "ping"}\n')
+            buf = b""
+            while buf.count(b"\n") < 3:
+                chunk = s.recv(1 << 16)
+                assert chunk, "server closed the connection mid-sequence"
+                buf += chunk
+        lines = [json.loads(l) for l in buf.splitlines()]
+        assert not lines[0]["ok"] and "JSON object" in lines[0]["error"]
+        assert not lines[1]["ok"] and "JSON object" in lines[1]["error"]
+        assert lines[2] == {"ok": True, "pong": True}
+    finally:
+        request(sock_path, {"cmd": "shutdown"}, timeout=10)
+        thread.join(timeout=30)
+
+
+def test_variant_generator_warm_uses_its_channel_count():
+    """warm() must build its throwaway cond with the generator's
+    n_cond_channels — a hardcoded 1-channel cond crashed `cli serve
+    --n-cond-channels 3` at startup (ScopeParamShapeError) before any
+    request arrived."""
+    tiny3 = ModelConfig(ndomain=16, latent_dim=8, n_cond_channels=3,
+                        gen_channels=(8, 8, 8), base_channels=8,
+                        critic_channels=(8, 8, 8, 8))
+    state, _, _ = create_train_state(tiny3, TrainConfig(seed=0))
+    pg = PretrainedGenerator(state.gen_params, tiny3, seed=5, max_batch=8)
+    secs = pg.warm(("max", 2))
+    assert secs >= 0.0
+    # the key chain was not consumed by warming
+    rng = np.random.RandomState(0)
+    daily = rng.gamma(2.0, 5.0, (16, 16)).astype(np.float32)
+    cond = np.concatenate(
+        [daily[..., None], np.zeros((16, 16, 2), np.float32)], axis=-1)
+    warmed = pg.generate_scenarios(cond, 2)
+    fresh = PretrainedGenerator(
+        state.gen_params, tiny3, seed=5, max_batch=8).generate_scenarios(
+            cond, 2)
+    np.testing.assert_array_equal(warmed, fresh)
+
+
+def test_watch_baseline_covers_the_load_window(tmp_path):
+    """An export landing between weight load and server construction (the
+    cli serve warm window: 30 s-10 min of compiles) must still trigger the
+    first watcher reload — the baseline is captured at load time and
+    passed in, not re-captured at construction."""
+    import time
+
+    from prdisagg_tpu.api.server import watch_signature
+    from prdisagg_tpu.models.io import save_params_npz
+
+    state_a, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    state_b, _, _ = create_train_state(TINY, TrainConfig(seed=1))
+    wdir = tmp_path / "exports"
+    wdir.mkdir()
+    save_params_npz(str(wdir / "gen_x_0001.npz"), state_a.gen_params)
+    baseline = watch_signature(str(wdir))  # cli serve: before load/warm
+    # an export lands while the daemon would be warming compiles
+    save_params_npz(str(wdir / "gen_x_0002.npz"), state_b.gen_params)
+    sock = str(tmp_path / "b.sock")
+    server = ScenarioServer(
+        PretrainedGenerator(state_a.gen_params, TINY, seed=9), sock,
+        watch_path=str(wdir), watch_interval_s=0.05,
+        watch_baseline=baseline)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if request(sock, {"cmd": "stats"})["reloads"] == 1:
+                break
+            time.sleep(0.1)
+        st = request(sock, {"cmd": "stats"})
+        assert st["reloads"] == 1
+        assert st["last_reload"].endswith("gen_x_0002.npz")
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        thread.join(timeout=30)
+
+
+def test_stats_answers_while_compute_is_busy(tmp_path):
+    """{"cmd": "stats"} is the SLA probe: it must answer even while a
+    scenario request holds the compute lock (a 1000-scenario forward or a
+    cold compile can hold it for minutes)."""
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    sock = str(tmp_path / "q.sock")
+    server = ScenarioServer(
+        PretrainedGenerator(state.gen_params, TINY), sock)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with server._compute_lock:  # simulate a long in-flight forward
+            st = request(sock, {"cmd": "stats"}, timeout=30)
+            assert st["ok"]
+            assert request(sock, {"cmd": "info"}, timeout=30)["ok"]
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        thread.join(timeout=30)
+
+
+def test_connect_burst_survives_a_tiny_backlog(tmp_path):
+    """A burst of concurrent one-shot clients larger than the listen
+    backlog must all get answers: connect EAGAIN (non-blocking socket +
+    full backlog — seen on-chip with 32 simultaneous clients) is retried
+    inside request() until the daemon accepts."""
+    import concurrent.futures
+
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    sock = str(tmp_path / "burst.sock")
+    server = ScenarioServer(
+        PretrainedGenerator(state.gen_params, TINY), sock, backlog=1)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with concurrent.futures.ThreadPoolExecutor(12) as ex:
+            out = list(ex.map(
+                lambda _: request(sock, {"cmd": "ping"}, timeout=60),
+                range(24)))
+        assert all(r == {"ok": True, "pong": True} for r in out)
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        thread.join(timeout=30)
