@@ -43,15 +43,22 @@ def _bucket(n: int) -> int:
     return p
 
 
-@partial(jax.jit, static_argnames=("gen",))
-def _apply_generator(gen, params, latent, cond):
+@partial(jax.jit, static_argnames=("gen", "wire_dtype"))
+def _apply_generator(gen, params, latent, cond, wire_dtype=None):
     """Shared jitted forward for every PretrainedGenerator instance.
 
     flax Modules are frozen dataclasses (hashable pytrees of config), so
     equal-config instances hit ONE trace here — the paper protocol's epoch
     curve constructs a PretrainedGenerator per export and a per-instance
-    `jax.jit(lambda ...)` re-traced the same program 50+ times."""
-    return gen.apply(params, latent, cond)
+    `jax.jit(lambda ...)` re-traced the same program 50+ times.
+
+    `wire_dtype` casts the output fractions ON DEVICE before the host
+    fetch: bulk scenario serving is fetch-bound (24.6 KB/scenario f32
+    through the ~8-10 MB/s tunnel, docs/PERF.md session 11), and fractions
+    live in [0, 1] where float16's ~1e-3 relative quantization costs
+    ~5e-4 relative conservation error — an opt-in 2x wire win."""
+    out = gen.apply(params, latent, cond)
+    return out if wire_dtype is None else out.astype(wire_dtype)
 
 
 class PretrainedGenerator:
@@ -60,7 +67,8 @@ class PretrainedGenerator:
 
     def __init__(self, params, cfg: Optional[ModelConfig] = None,
                  norm_scale: float = NORM_SCALE, seed: int = 0,
-                 max_batch: Optional[int] = None, mesh=None):
+                 max_batch: Optional[int] = None, mesh=None,
+                 wire_dtype: Optional[str] = None):
         """`max_batch` caps the per-forward device batch: larger requests
         are served in chunks (batch 8000 is the single-chip HBM ceiling at
         the flagship architecture under bf16 forwards and also its
@@ -89,7 +97,14 @@ class PretrainedGenerator:
         per-sample math is unchanged, so sharded output equals single-device
         output.  Per-device batch becomes max_batch/mesh.size, so serving
         throughput scales with chips (the reference is single-GPU predict;
-        SURVEY §2.2 names DP over ICI as the TPU-native replacement)."""
+        SURVEY §2.2 names DP over ICI as the TPU-native replacement).
+
+        `wire_dtype="float16"` casts the output fractions on device before
+        the device->host fetch — bulk serving is fetch-bound (docs/PERF.md
+        session 11), so halving wire bytes ~doubles bulk export throughput
+        at ~5e-4 relative conservation error (fractions are in [0, 1],
+        where f16 quantization is benign).  Default None keeps the exact
+        f32 reference predict path."""
         self.cfg = cfg or ModelConfig(compute_dtype="float32")
         self.mesh = mesh
         # pin the weights on device ONCE: .h5/.npz loaders hand back host
@@ -122,8 +137,14 @@ class PretrainedGenerator:
         if mesh is not None:  # chunks must divide evenly over the mesh axis
             max_batch = max(mesh.size, max_batch - max_batch % mesh.size)
         self.max_batch = max_batch
+        if wire_dtype not in (None, "float32", "float16"):
+            raise ValueError(
+                f"wire_dtype must be None/'float32'/'float16', "
+                f"got {wire_dtype!r}")
+        self.wire_dtype = None if wire_dtype == "float32" else wire_dtype
         self._gen = Generator(self.cfg)
-        self._predict = lambda p, l, c: _apply_generator(self._gen, p, l, c)
+        self._predict = lambda p, l, c: _apply_generator(
+            self._gen, p, l, c, self.wire_dtype)
         self._key = jax.random.PRNGKey(seed)
 
     # -- constructors --------------------------------------------------------

@@ -196,6 +196,7 @@ def _load_generator(args, model_cfg=None, **kw):
     # variant weights (doy/lon) need the channel count for architecture
     # inference — not recoverable from generator shapes alone (models/io)
     kw.setdefault("n_cond_channels", getattr(args, "n_cond_channels", 1))
+    kw.setdefault("wire_dtype", getattr(args, "wire_dtype", None))
     if args.weights.endswith(".h5"):
         return PretrainedGenerator.from_keras_h5(args.weights, model_cfg, **kw)
     return PretrainedGenerator.from_npz(args.weights, model_cfg, **kw)
@@ -759,6 +760,12 @@ def build_parser():
                         "lon 2, doy 3); conds then carry the extra "
                         "channels after the mm daily sums: (nd,nd,C) / "
                         "(K,nd,nd,C)")
+    g.add_argument("--wire-dtype", dest="wire_dtype", default=None,
+                   choices=["float32", "float16"],
+                   help="dtype of the device->host fetch: float16 halves "
+                        "the fetch-bound bulk-export wire bytes at ~5e-4 "
+                        "relative conservation error (default float32 — "
+                        "exact reference parity)")
     g.set_defaults(fn=cmd_generate)
 
     srv = sub.add_parser(
@@ -803,6 +810,13 @@ def build_parser():
                      help="conditioning channels of the weights (base 1, "
                           "lon 2, doy 3); requests then send (nd,nd,C) "
                           "maps / (K,nd,nd,C) stacks")
+    srv.add_argument("--wire-dtype", dest="wire_dtype", default=None,
+                     choices=["float32", "float16"],
+                     help="dtype of the device->host fetch: float16 halves "
+                          "the fetch-bound bulk-export wire bytes at ~5e-4 "
+                          "relative conservation error (default float32 — "
+                          "exact reference parity; responses are f32 either "
+                          "way)")
     srv.set_defaults(fn=cmd_serve)
 
     ins = sub.add_parser(

@@ -584,3 +584,39 @@ def test_mesh_serving_batch_api_matches():
     a = pg.generate_scenarios_batch(conds, 5, latent=latent)
     b = pg_dp.generate_scenarios_batch(conds, 5, latent=latent)
     np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
+
+
+def test_wire_dtype_f16_halves_fetch_and_stays_close():
+    """wire_dtype='float16' casts the fractions ON DEVICE before the host
+    fetch (bulk serving is fetch-bound through the tunnel, docs/PERF.md):
+    outputs must match the f32 path to f16 quantization (~1e-3 relative)
+    and conservation must hold to ~5e-4 relative; the response dtype stays
+    float32 (the rescale upcasts)."""
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    rng = np.random.RandomState(5)
+    cond = rng.gamma(2.0, 5.0, (TINY.ndomain, TINY.ndomain)).astype(
+        np.float32)
+    f32 = PretrainedGenerator(state.gen_params, TINY, seed=7)
+    f16 = PretrainedGenerator(state.gen_params, TINY, seed=7,
+                              wire_dtype="float16")
+    a = f32.generate_scenarios(cond, 4)
+    b = f16.generate_scenarios(cond, 4)
+    assert b.dtype == np.float32  # wire dtype never leaks into the API
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(
+        b.sum(axis=1), np.broadcast_to(cond, b.sum(axis=1).shape),
+        rtol=5e-3)
+    # the raw fetch really is f16 (half the wire bytes)
+    lat = np.zeros((2, TINY.latent_dim), np.float32)
+    cnd = np.zeros((2, TINY.ndomain, TINY.ndomain, 1), np.float32)
+    assert np.asarray(f16.predict_fractions(lat, cnd)).dtype == np.float16
+    assert np.asarray(f32.predict_fractions(lat, cnd)).dtype == np.float32
+
+
+def test_wire_dtype_validated():
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    with pytest.raises(ValueError, match="wire_dtype"):
+        PretrainedGenerator(state.gen_params, TINY, wire_dtype="bfloat16")
+    # "float32" normalizes to the default exact path
+    pg = PretrainedGenerator(state.gen_params, TINY, wire_dtype="float32")
+    assert pg.wire_dtype is None
