@@ -233,6 +233,7 @@ class ScenarioServer:
                 "ok": True, "ndomain": cfg.ndomain, "nhours": cfg.nhours,
                 "latent_dim": cfg.latent_dim,
                 "compute_dtype": cfg.compute_dtype,
+                "wire_dtype": getattr(self.generator, "wire_dtype", None),
                 "max_batch": self.generator.max_batch,
                 "batch_window_ms": self._batch_window * 1e3,
                 "fused_batches": self.fused_batches,
