@@ -750,3 +750,30 @@ def test_connect_burst_survives_a_tiny_backlog(tmp_path):
     finally:
         request(sock, {"cmd": "shutdown"}, timeout=10)
         thread.join(timeout=30)
+
+
+def test_wire_f16_generator_serves_through_the_socket(tmp_path):
+    """A wire_dtype='float16' generator serves through the daemon with f32
+    responses: b64 decode dtype is float32 and conservation holds to the
+    f16 quantization bound (~5e-4 relative)."""
+    state, _, _ = create_train_state(TINY, TrainConfig(seed=0))
+    sock = str(tmp_path / "w16.sock")
+    server = ScenarioServer(
+        PretrainedGenerator(state.gen_params, TINY, seed=11,
+                            wire_dtype="float16"), sock)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        cond = np.full((16, 16), 12.0, np.float32)
+        r = request(sock, {"cond": cond.tolist(), "n_scenarios": 2,
+                           "encoding": "b64"})
+        assert r["ok"] and r["dtype"] == "float32"
+        scen = scenarios_array(r)
+        assert scen.dtype == np.float32
+        np.testing.assert_allclose(
+            scen.sum(axis=1), np.broadcast_to(cond, (2, 16, 16)), rtol=5e-3)
+        info = request(sock, {"cmd": "info"})
+        assert info["wire_dtype"] == "float16"
+    finally:
+        request(sock, {"cmd": "shutdown"}, timeout=10)
+        thread.join(timeout=30)
