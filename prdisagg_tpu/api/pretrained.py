@@ -107,6 +107,15 @@ class PretrainedGenerator:
         f32 reference predict path."""
         self.cfg = cfg or ModelConfig(compute_dtype="float32")
         self.mesh = mesh
+        # validate cheap arguments BEFORE any device work: device_put below
+        # uploads the full weight tree through the ~10 MB/s tunnel (and on a
+        # wedged backend hangs forever), so a trivially detectable bad
+        # argument must not cost an upload first
+        if wire_dtype not in (None, "float32", "float16"):
+            raise ValueError(
+                f"wire_dtype must be None/'float32'/'float16', "
+                f"got {wire_dtype!r}")
+        self.wire_dtype = None if wire_dtype == "float32" else wire_dtype
         # pin the weights on device ONCE: .h5/.npz loaders hand back host
         # numpy trees, and a host tree passed to a jitted predict re-uploads
         # every weight on EVERY call — through the tunneled TPU that turned
@@ -137,11 +146,6 @@ class PretrainedGenerator:
         if mesh is not None:  # chunks must divide evenly over the mesh axis
             max_batch = max(mesh.size, max_batch - max_batch % mesh.size)
         self.max_batch = max_batch
-        if wire_dtype not in (None, "float32", "float16"):
-            raise ValueError(
-                f"wire_dtype must be None/'float32'/'float16', "
-                f"got {wire_dtype!r}")
-        self.wire_dtype = None if wire_dtype == "float32" else wire_dtype
         self._gen = Generator(self.cfg)
         self._predict = lambda p, l, c: _apply_generator(
             self._gen, p, l, c, self.wire_dtype)

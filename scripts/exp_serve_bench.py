@@ -106,6 +106,12 @@ def ensure_weights(weights):
 
 
 def main():
+    # The TPU queues wrap this script in `timeout N`: timeout's SIGTERM
+    # would kill the interpreter WITHOUT running the finally-block daemon
+    # cleanup below, orphaning serve daemons that hold the chip for every
+    # later queue stage.  Convert it to SystemExit so cleanup runs.
+    import signal
+    signal.signal(signal.SIGTERM, lambda s, f: sys.exit(143))
     argv = [a for a in sys.argv[1:] if a != "--smoke"]
     smoke = "--smoke" in sys.argv[1:]  # tiny counts: validate the script
     weights = ensure_weights(argv[0] if argv else DEFAULT_W)

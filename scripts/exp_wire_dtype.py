@@ -13,6 +13,7 @@ Prints ONE JSON block; progress goes to stderr.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -44,10 +45,14 @@ def run_arm(weights, wire_dtype, n_req, n_scen, max_batch=None):
             rng = np.random.RandomState(7)
             conds = np.abs(rng.rand(8, 16, 16)).astype(np.float32) * 20.0
             os.makedirs("/tmp/wire_dtype_out", exist_ok=True)
-            # warm the n_scen forward shape (one compile, untimed)
+            # warm the n_scen forward shape (one compile, untimed).  The
+            # daemon only pre-warms its max_batch chunk, so this request can
+            # pay a cold remote compile — on a fresh VM's empty cache that
+            # exceeds request()'s default 600 s; give it wait_ready headroom.
             assert request(SOCK, {"cond": conds[0].tolist(),
                                   "n_scenarios": n_scen,
-                                  "out": "/tmp/wire_dtype_out/w.npy"})["ok"]
+                                  "out": "/tmp/wire_dtype_out/w.npy"},
+                           timeout=1800.0)["ok"]
             t0 = time.perf_counter()
             for i in range(n_req):
                 r = request(SOCK, {"cond": conds[i % 8].tolist(),
@@ -75,6 +80,11 @@ def run_arm(weights, wire_dtype, n_req, n_scen, max_batch=None):
 
 
 def main():
+    # the TPU queues wrap this script in `timeout N`: timeout's SIGTERM
+    # would kill the interpreter WITHOUT running run_arm's finally block,
+    # orphaning a serve daemon that holds the chip for every later queue
+    # stage.  Convert it to SystemExit so cleanup runs.
+    signal.signal(signal.SIGTERM, lambda s, f: sys.exit(143))
     smoke = "--smoke" in sys.argv[1:]
     weights = ensure_weights(DEFAULT_W)
     n_req, n_scen, mb = (3, 50, 64) if smoke else (15, 1000, None)

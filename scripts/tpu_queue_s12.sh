@@ -64,7 +64,7 @@ if [ ! -f artifacts/.queue_s12_serve_done ]; then
     WAIT_QUIET
     LOG "stage serve-bench-r2"
     timeout 7200 python scripts/exp_serve_bench.py \
-        > artifacts/exp_serve_bench_r2.txt 2>&1 \
+        > artifacts/exp_serve_bench_r2.txt 2>artifacts/exp_serve_bench_r2.err \
         && python -c "
 import json
 txt = open('artifacts/exp_serve_bench_r2.txt').read()
