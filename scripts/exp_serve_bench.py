@@ -136,12 +136,16 @@ def main():
         cond1 = conds[0].tolist()
 
         n_big = 50 if smoke else 1000
-        # warm every forward shape used below (trace/compile once)
+        # warm every forward shape used below (trace/compile once);
+        # timeout=1800 survives a COLD remote compile through the tunnel
+        # (ADVICE r4: the 600 s default died on a fresh VM's empty cache)
         os.makedirs("/tmp/serve_bench_out", exist_ok=True)
         for ns in (1, n_scen):
-            assert request(SOCK, {"cond": cond1, "n_scenarios": ns})["ok"]
+            assert request(SOCK, {"cond": cond1, "n_scenarios": ns},
+                           timeout=1800.0)["ok"]
         assert request(SOCK, {"cond": cond1, "n_scenarios": n_big,
-                              "out": "/tmp/serve_bench_out/w.npy"})["ok"]
+                              "out": "/tmp/serve_bench_out/w.npy"},
+                       timeout=1800.0)["ok"]
 
         # 1. single-scenario latency, sequential requests
         lats = []

@@ -13,6 +13,7 @@ references plus the CLI map cover every module's surface.
 import importlib
 import pathlib
 import re
+import types
 
 DOC = pathlib.Path(__file__).resolve().parents[1] / "docs" / "API.md"
 
@@ -61,11 +62,17 @@ def _resolve(token):
             obj = getattr(obj, name)
         except AttributeError:
             # submodule not imported by the parent's __init__
-            obj = importlib.import_module(
-                f"{mod_path}.{name}") if hasattr(obj, "__path__") else None
-            if obj is None:
+            if not hasattr(obj, "__path__"):
                 return False
-            mod_path = f"{mod_path}.{name}"
+            try:
+                obj = importlib.import_module(f"{mod_path}.{name}")
+            except ImportError:
+                return False
+        # keep mod_path in lockstep with obj so a missing attribute UNDER a
+        # getattr-reached submodule reports as a missing symbol, not an
+        # uncaught ModuleNotFoundError on a wrong dotted path (ADVICE r4)
+        if isinstance(obj, types.ModuleType):
+            mod_path = obj.__name__
     return True
 
 
@@ -82,9 +89,18 @@ def test_documented_cli_subcommands_exist():
 
     text = DOC.read_text()
     cli_section = text[text.index("## CLI map"):]
-    # subcommand tokens: backticked kebab-case words (flags start with -)
-    cmds = {t for t in re.findall(r"`([a-z][a-z0-9-]*)`", cli_section)
-            if not t.startswith("-")}
+    # subcommand tokens: backticked kebab-case words (flags start with -).
+    # Slash-joined compound entries like `rainfarm-calibrate/generate/crps`
+    # expand via the first token's prefix (ADVICE r4: the old regex skipped
+    # them entirely, leaving those subcommands unguarded against renames).
+    cmds = set()
+    for tok in re.findall(r"`([a-z][a-z0-9/-]*)`", cli_section):
+        if tok.startswith("-"):
+            continue
+        parts = tok.split("/")
+        cmds.add(parts[0])
+        prefix = parts[0].rsplit("-", 1)[0] + "-" if "-" in parts[0] else ""
+        cmds.update(prefix + p for p in parts[1:])
     assert "train" in cmds and "serve" in cmds
     sub = next(a for a in build_parser()._actions
                if hasattr(a, "choices") and a.choices)
