@@ -23,6 +23,7 @@ TINY = ModelConfig(
 )
 
 
+@pytest.mark.quick
 def test_npz_roundtrip(tmp_path):
     state, gen, _ = create_train_state(TINY, TrainConfig())
     p = str(tmp_path / "gen.npz")
@@ -202,6 +203,7 @@ def test_keras_h5_export_group_structure(tmp_path):
                          "sequential"]
 
 
+@pytest.mark.quick
 def test_generate_scenarios_semantics():
     state, gen, _ = create_train_state(TINY, TrainConfig())
     pg = PretrainedGenerator(state.gen_params, TINY)
@@ -441,6 +443,7 @@ def test_plot_scenarios_hour_label_modes():
         plot_scenarios(scen, hour_labels="bogus")
 
 
+@pytest.mark.quick
 def test_generate_scenarios_chunked_matches_single_forward():
     """Requests above max_batch are served in equal-shape chunks (padded
     tail) and must equal the single-forward result exactly — one jitted

@@ -11,6 +11,10 @@ from prdisagg_tpu.data.indices import (
 )
 from prdisagg_tpu.data.sampler import DeviceDataset, sample_real_jit
 
+# whole module is part of the quick smoke tier (VERDICT r4 item 8)
+import pytest
+
+pytestmark = pytest.mark.quick
 
 def test_params_string_matches_reference_codec():
     cfg = DataConfig()

@@ -40,6 +40,7 @@ def eval_setup(tmp_path_factory, synthetic_dataset):
     return Evaluator(exp, ds, pg, workdir=workdir), workdir, pg, ds
 
 
+@pytest.mark.quick
 def test_map_grids_artifacts(eval_setup):
     ev, workdir, _, _ = eval_setup
     ev.map_grids(n_conditions=2, n_fake_per_real=2)
@@ -50,6 +51,7 @@ def test_map_grids_artifacts(eval_setup):
     assert glob.glob(os.path.join(ev.datadir, "real_precip_for_mapplots_*.npy"))
 
 
+@pytest.mark.quick
 def test_sample_statistics(eval_setup):
     ev, workdir, _, _ = eval_setup
     res = ev.sample_statistics(n_samples=24, chunk=10)

@@ -17,6 +17,10 @@ def _init(model_cfg, seed=0):
     sample = jnp.zeros((2, model_cfg.nhours, model_cfg.ndomain, model_cfg.ndomain, 1))
     return gen, gen.init(k1, latent, cond), critic, critic.init(k2, sample, cond)
 
+# whole module is part of the quick smoke tier (VERDICT r4 item 8)
+import pytest
+
+pytestmark = pytest.mark.quick
 
 def test_generator_output_shape_and_conservation():
     cfg = ModelConfig()

@@ -10,6 +10,8 @@ from prdisagg_tpu.ops import (
     upsample3d_nearest,
 )
 
+# whole module is part of the quick smoke tier (VERDICT r4 item 8)
+pytestmark = pytest.mark.quick
 
 def test_pixel_norm_matches_reference_math():
     # reference: x / sqrt(mean(x^2, ch) + 1e-8)

@@ -26,6 +26,8 @@ def _crps_bruteforce(obs, ens):
             t2 += abs(ens[i] - ens[j])
     return t1 - 0.5 * t2 / m**2
 
+# whole module is part of the quick smoke tier (VERDICT r4 item 8)
+pytestmark = pytest.mark.quick
 
 def test_crps_matches_bruteforce_scalar():
     rng = np.random.RandomState(0)

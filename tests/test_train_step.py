@@ -31,6 +31,7 @@ def small_setup(request):
     return ds, state, gen, critic, model_cfg, train_cfg
 
 
+@pytest.mark.quick
 def test_fused_step_runs_and_updates(small_setup):
     ds, state, gen, critic, model_cfg, train_cfg = small_setup
     step = make_train_step(gen, critic, model_cfg, train_cfg, batch_size=4,
