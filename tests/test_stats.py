@@ -256,3 +256,41 @@ def test_crps_ensemble_fixed_matches_per_sample():
     per = jnp.stack([crps_ensemble(obs[i], ens) for i in range(5)])
     np.testing.assert_allclose(np.asarray(fixed), np.asarray(per),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_crps_hand_derived_golden_values():
+    """Independent-provenance golden values (VERDICT round-4 item 6).
+
+    properscoring isn't installable here (no egress), so these constants
+    are derived BY HAND from the definition CRPS = integral (F_ens(x) -
+    1{x >= y})^2 dx, each verifiable with pencil and paper (exact
+    fractions); properscoring.crps_ensemble
+    (generate_and_evaluate_crps.py:189) computes this same integral.
+
+      1. ens=[0,1], y=0.5: (0.5)^2 on [0,0.5) + (0.5)^2 on [0.5,1) = 1/4
+      2. ens=[0,1], y=2:   (0.5)^2 on [0,1) + 1 on [1,2)          = 5/4
+      3. ens=[1],   y=3:   deterministic forecast -> |1-3|         = 2
+      4. ens=[0,0,0], y=0: perfect forecast                        = 0
+      5. ens=[1,2,3,4], y=2.5: E|X-y|=1, spread=20/32              = 3/8
+      6. ens=[0.1,0.5,0.9], y=0.3: 1/3 - 8/45                      = 7/45
+    """
+    cases = [
+        ([0.0, 1.0], 0.5, 0.25),
+        ([0.0, 1.0], 2.0, 1.25),
+        ([1.0], 3.0, 2.0),
+        ([0.0, 0.0, 0.0], 0.0, 0.0),
+        ([1.0, 2.0, 3.0, 4.0], 2.5, 0.375),
+        ([0.1, 0.5, 0.9], 0.3, 7.0 / 45.0),
+    ]
+    from prdisagg_tpu.ops.stats import crps_ensemble_fixed
+
+    for ens, y, want in cases:
+        got = float(crps_ensemble(jnp.asarray(y),
+                                  jnp.asarray(np.asarray(ens, np.float32))))
+        np.testing.assert_allclose(got, want, atol=1e-6,
+                                   err_msg=f"ens={ens} y={y}")
+        # the fixed-ensemble variant must agree on the same constants
+        gotf = float(crps_ensemble_fixed(
+            jnp.asarray(np.asarray([y], np.float32)),
+            jnp.asarray(np.asarray(ens, np.float32)))[0])
+        np.testing.assert_allclose(gotf, want, atol=1e-6)
