@@ -164,6 +164,40 @@ def cmd_compute_indices(args):
     print(f"found {len(idx)} valid samples -> {out}")
 
 
+def cmd_convert_tiffs(args):
+    """Raw 5-min reflectivity GeoTIFFs -> per-day netCDF intermediates
+    (reference convert stage, convert_smhi_radardata.py:31-45): one
+    YYYYMMDD subdirectory of --tiff-dir per day, 288 files each."""
+    import glob as _glob
+    import re as _re
+
+    from prdisagg_tpu.data.ingest import read_geotiff
+    from prdisagg_tpu.data.netcdf_io import convert_and_write_days
+
+    days = sorted(
+        d for d in os.listdir(args.tiff_dir)
+        if _re.fullmatch(r"\d{8}", d)
+        and os.path.isdir(os.path.join(args.tiff_dir, d)))
+    if not days:
+        sys.exit(f"no YYYYMMDD day directories in {args.tiff_dir}")
+
+    def raw_days():
+        for date in days:
+            paths = sorted(
+                p for p in _glob.glob(os.path.join(args.tiff_dir, date, "*"))
+                if p.lower().endswith((".tif", ".tiff")))
+            print(f"{date}: {len(paths)} tiffs")
+            yield date, np.stack([read_geotiff(p) for p in paths])
+
+    failed = convert_and_write_days(raw_days(), args.out_dir)
+    # reference behaviour: failed days are skipped and logged, not fatal
+    # (convert_smhi_radardata.py:47-52)
+    for date in failed:
+        print(f"failed: {date}")
+    print(f"converted {len(days) - len(failed)}/{len(days)} days -> "
+          f"{args.out_dir}")
+
+
 def cmd_reformat_nc(args):
     """Reformat per-day netCDF intermediates (reference convert-stage output,
     convert_smhi_radardata.py:45) into the training tensor — the TPU-native
@@ -629,6 +663,18 @@ def build_parser():
                         "trains implicit float32); same as "
                         "--compute-dtype float32")
     t.set_defaults(fn=cmd_train)
+
+    ct = sub.add_parser("convert-tiffs", help="raw 5-min radar GeoTIFFs -> "
+                        "per-day .nc intermediates (reference "
+                        "convert_smhi_radardata.py stage)")
+    ct.add_argument("--tiff-dir", dest="tiff_dir", required=True,
+                    help="root with one YYYYMMDD subdirectory per day, each "
+                         "holding that day's 288 five-minute GeoTIFFs in "
+                         "lexical order")
+    ct.add_argument("--out-dir", dest="out_dir", required=True,
+                    help="directory for smhi_radar_YYYYMMDD.nc outputs "
+                         "(mm/5min; tres aggregation happens at reformat-nc)")
+    ct.set_defaults(fn=cmd_convert_tiffs)
 
     rn = sub.add_parser("reformat-nc", help="per-day .nc intermediates -> "
                         "training tensor (reference reformat_data.py stage)")
