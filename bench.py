@@ -47,9 +47,14 @@ PEAK_TFLOPS_BF16 = {"TPU v5": 197.0, "TPU v4": 275.0, "TPU v6": 918.0}
 PEAK_TFLOPS_DEFAULT = 197.0
 
 PHASES = ("bf16", "f32", "scen")
-# "flops" is an on-demand fallback phase (CPU lowering of the same program),
-# spawned only when the winning train phase could not count FLOPs on-device
-ALL_PHASES = PHASES + ("flops",)
+# MFU-context phases (VERDICT round-4 item 5): the b128 schedule stage and
+# the 64x64 large-domain step, so the headline's ~2%-at-tiny-shapes MFU
+# stops standing alone.  Soft: their failure never fails the bench.
+MFU_PHASES = ("b128", "ld64")
+# "flops*" are on-demand fallback phases (CPU lowering of the same
+# program), spawned only when a train phase could not count FLOPs on-device
+FLOPS_PHASES = ("flops", "flops_b128", "flops_ld64")
+ALL_PHASES = PHASES + MFU_PHASES + FLOPS_PHASES
 MAX_ATTEMPTS = 3
 PHASE_TIMEOUT_S = 2700  # cold-cache remote compiles through the tunnel can
 # take ~25 min (measured round 3); cached reruns are seconds
@@ -124,22 +129,37 @@ def _setup_jax():
 # measurement phases (each runs inside its own subprocess)
 # ---------------------------------------------------------------------------
 
-def _flagship_step(compute_dtype: str, tiny: bool):
+def _flagship_step(compute_dtype: str, tiny: bool, batch_size: int = None,
+                   ndomain: int = 16):
     """Build the flagship fused step exactly as the train phases measure it;
-    returns (step, state, ds, k, batch_size)."""
-    from prdisagg_tpu.core.config import ModelConfig, TrainConfig
+    returns (step, state, ds, k, batch_size).  ndomain=64 builds the
+    large-domain (n_thresh=40) variant with steps_per_call=1 (chunking is
+    measured-neutral there — docs/PERF.md 64x64 lever table — and K=1
+    shares the lever experiments' warm compile cache)."""
+    from prdisagg_tpu.core.config import DataConfig, ModelConfig, TrainConfig
     from prdisagg_tpu.data.sampler import DeviceDataset
     from prdisagg_tpu.data.synthetic import make_synthetic_dataset
     from prdisagg_tpu.train import create_train_state, make_train_step
 
-    batch_size = 4 if tiny else 32
-    data, indices, dcfg = make_synthetic_dataset(
-        n_days=4 if tiny else 8, ny=32 if tiny else 64,
-        nx=32 if tiny else 64, seed=0)
+    if batch_size is None:
+        batch_size = 4 if tiny else 32
     kwargs = dict(compute_dtype=compute_dtype)
     if tiny:  # orchestration/CI testing only — NOT a benchmark config
         kwargs.update(latent_dim=8, gen_channels=(8, 8, 8), base_channels=8,
                       critic_channels=(8, 8, 8, 8))
+    if ndomain == 64:
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts.full_protocol_scale_run import make_scale_dataset
+
+        dcfg = DataConfig(ndomain=64, n_thresh=40)
+        data, indices = make_scale_dataset(
+            4 if tiny else 6, 128, 128, 17, dcfg)
+        kwargs["ndomain"] = 64
+    else:
+        data, indices, dcfg = make_synthetic_dataset(
+            n_days=4 if tiny else 8, ny=32 if tiny else 64,
+            nx=32 if tiny else 64, seed=0)
     model_cfg = ModelConfig(**kwargs)
     # production protocol: n_disc=5, Adam(1e-4, 0, 0.9); tiny mode shrinks
     # the unrolled critic scan so the CPU orchestration test compiles fast
@@ -149,7 +169,10 @@ def _flagship_step(compute_dtype: str, tiny: bool):
     # steps_per_call matches the production Trainer dispatch pattern
     # (K fused steps scanned per host dispatch, train/loop.py); tiny mode
     # shrinks it so the orchestration test's CPU compile stays cheap
-    k = 2 if tiny else 10
+    if ndomain == 64:
+        k = 1
+    else:
+        k = 2 if tiny else 10
     step = make_train_step(gen, critic, model_cfg, train_cfg, batch_size,
                            steps_per_call=k)
     return step, state, ds, k, batch_size
@@ -165,8 +188,24 @@ def _flops_of(step, state, ds, k) -> float:
     return float(cost["flops"]) / k
 
 
-def _measure_flops(tiny: bool) -> dict:
-    """FLOPs/step of the flagship step, counted on a CPU lowering.
+# phase -> (compute_dtype, batch_size or None=default, ndomain)
+_TRAIN_PHASE_SPECS = {
+    "bf16": ("bfloat16", None, 16),
+    "f32": ("float32", None, 16),
+    "b128": ("bfloat16", 128, 16),   # the production schedule's tail stage
+    "ld64": ("bfloat16", 32, 64),    # the large-domain variant step
+}
+
+
+def _train_spec(phase: str, tiny: bool):
+    dtype, batch, ndomain = _TRAIN_PHASE_SPECS[phase]
+    if tiny and batch is not None:
+        batch = 8 if phase == "b128" else 4
+    return dtype, batch, ndomain
+
+
+def _measure_flops(phase: str, tiny: bool) -> dict:
+    """FLOPs/step of a train phase's program, counted on a CPU lowering.
 
     The tunneled TPU plugin's PJRT client does not implement
     `cost_analysis` (observed round 4: the train phases' in-process attempt
@@ -175,13 +214,17 @@ def _measure_flops(tiny: bool) -> dict:
     count there."""
     jax = _setup_jax()
     jax.config.update("jax_platforms", "cpu")  # sitecustomize latches axon
-    step, state, ds, k, _ = _flagship_step("bfloat16", tiny)
+    target = phase.split("_", 1)[1] if "_" in phase else "bf16"
+    dtype, batch, ndomain = _train_spec(target, tiny)
+    step, state, ds, k, _ = _flagship_step(dtype, tiny, batch, ndomain)
     return {"flops_per_step": round(_flops_of(step, state, ds, k))}
 
 
-def _measure_train(compute_dtype: str, tiny: bool) -> dict:
+def _measure_train(phase: str, tiny: bool) -> dict:
     jax = _setup_jax()
-    step, state, ds, k, batch_size = _flagship_step(compute_dtype, tiny)
+    dtype, batch, ndomain = _train_spec(phase, tiny)
+    step, state, ds, k, batch_size = _flagship_step(dtype, tiny, batch,
+                                                    ndomain)
     flops_per_step = None
     try:
         flops_per_step = _flops_of(step, state, ds, k)
@@ -189,15 +232,16 @@ def _measure_train(compute_dtype: str, tiny: bool) -> dict:
         pass  # axon lacks cost_analysis — orchestrator falls back to CPU
     state, metrics = step(state, ds)       # warmup / compile
     if bool(metrics["nonfinite"]):         # host fetch = hard sync
-        raise NonFiniteLoss(f"non-finite loss in {compute_dtype} warmup")
-    n_calls = 1 if tiny else 5
+        raise NonFiniteLoss(f"non-finite loss in {phase} warmup")
+    # ld64 runs K=1 at ~5.5 steps/s: more calls for a stable window
+    n_calls = 1 if tiny else (30 if phase == "ld64" else 5)
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, metrics = step(state, ds)
     _sync(metrics["d_loss"])               # depends on the full chain
     dt = time.perf_counter() - t0
     if bool(metrics["nonfinite"]):
-        raise NonFiniteLoss(f"non-finite loss during {compute_dtype} timing")
+        raise NonFiniteLoss(f"non-finite loss during {phase} timing")
     sps = n_calls * k / dt
     res = {"value": round(sps, 3), "device": str(jax.devices()[0]),
            "batch_size": batch_size}
@@ -258,13 +302,12 @@ def run_phase(phase: str, tiny: bool) -> dict:
         if f_phase == phase and int(os.environ.get("BENCH_ATTEMPT", "0")) < int(n_fail):
             raise RuntimeError(
                 "FAILED_PRECONDITION: TPU backend error (forced fault)")
-    if phase in ("bf16", "f32"):
-        dtype = "bfloat16" if phase == "bf16" else "float32"
-        return _measure_train(dtype, tiny)
+    if phase in _TRAIN_PHASE_SPECS:
+        return _measure_train(phase, tiny)
     if phase == "scen":
         return _measure_scenarios(tiny)
-    if phase == "flops":
-        return _measure_flops(tiny)
+    if phase in FLOPS_PHASES:
+        return _measure_flops(phase, tiny)
     raise ValueError(f"unknown phase {phase!r}")
 
 
@@ -519,32 +562,58 @@ def orchestrate(tiny: bool = False, spawn=_spawn_phase) -> tuple[dict, int]:
     else:
         extras["scen_error"] = scen.get("error", "")
     extras["attempts"] = {ph: results[ph].get("attempts", 0) for ph in PHASES}
+
+    def _flops_for(res: dict, fallback_phase: str) -> int | None:
+        """In-process FLOP count if the phase got one, else one CPU-lowering
+        subprocess of the SAME program (the tunneled TPU plugin's PJRT
+        client lacks cost_analysis; the op-graph count is backend-
+        independent)."""
+        flops = res.get("flops_per_step")
+        if flops is not None:
+            return flops
+        fl = run_with_retries(fallback_phase, tiny, spawn, deadline)
+        if fl.get("ok") and "flops_per_step" in fl:
+            extras.setdefault("flops_source", "cpu_lowering")
+            return fl["flops_per_step"]
+        extras.setdefault("flops_error", fl.get("error", "")[:200])
+        return None
+
+    peak = next((v for p, v in PEAK_TFLOPS_BF16.items()
+                 if p in extras.get("device", "")), PEAK_TFLOPS_DEFAULT)
     if headline is not None:
         # sample-updates/s: batch samples through each of the 6 model
         # updates (5 critic + 1 generator) per fused step; batch size comes
         # from the measured phase (4 in --tiny mode, 32 in the benchmark)
         bsz = headline.get("batch_size", 32)
         extras["samples_per_sec"] = round(value * bsz * 6, 1)
-        flops = headline.get("flops_per_step")
-        if flops is None:
-            # the tunneled TPU plugin's PJRT client lacks cost_analysis;
-            # the op-graph FLOP count is backend-independent, so lower the
-            # SAME program for CPU in a fresh subprocess and count there
-            fl = run_with_retries("flops", tiny, spawn, deadline)
-            if fl.get("ok") and "flops_per_step" in fl:
-                flops = fl["flops_per_step"]
-                extras["flops_source"] = "cpu_lowering"
-            else:
-                extras["flops_error"] = fl.get("error", "")[:200]
+        flops = _flops_for(headline, "flops")
         if flops is not None:
             extras["flops_per_step"] = flops
             extras["tflops_per_sec"] = round(value * flops / 1e12, 2)
-            peak = next((v for p, v in PEAK_TFLOPS_BF16.items()
-                         if p in extras.get("device", "")),
-                        PEAK_TFLOPS_DEFAULT)
             extras["mfu_vs_bf16_peak"] = round(
                 extras["tflops_per_sec"] / peak, 4)
             extras["mfu_peak_tflops_assumed"] = peak
+
+    # MFU-context phases (VERDICT round-4 item 5): tflops/MFU where the
+    # shapes are big enough to mean something — the b128 schedule tail and
+    # the 64x64 large-domain step.  Soft: failures never fail the bench.
+    # Skipped in --tiny mode (orchestration testing, not a benchmark; the
+    # hermetic fake-spawn tests cover the orchestration of these phases).
+    if headline is not None and not tiny:
+        for ph in MFU_PHASES:
+            res = run_with_retries(ph, tiny, spawn, deadline)
+            if not res.get("ok"):
+                extras[f"{ph}_error"] = res.get("error", "")[:200]
+                continue
+            sps = res["value"]
+            bsz = res.get("batch_size", 32)
+            extras[f"{ph}_steps_per_sec"] = sps
+            extras[f"{ph}_sample_updates_per_sec"] = round(sps * bsz * 6, 1)
+            flops = _flops_for(res, f"flops_{ph}")
+            if flops is not None:
+                extras[f"{ph}_tflops_per_sec"] = round(sps * flops / 1e12, 2)
+                extras[f"{ph}_mfu_vs_bf16_peak"] = round(
+                    sps * flops / 1e12 / peak, 4)
 
     if rc != 0:
         lv = _last_verified()

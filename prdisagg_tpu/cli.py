@@ -116,6 +116,14 @@ def cmd_train(args):
         name=args.name,
         compute_dtype=compute_dtype,
     )
+    if getattr(args, "model_preset", None) == "tiny":
+        from prdisagg_tpu.core.config import smoke_model_config
+
+        import dataclasses
+
+        exp = dataclasses.replace(exp, model_override=smoke_model_config(
+            ndomain=dcfg.ndomain, n_cond_channels=dcfg.n_cond_channels,
+            compute_dtype=compute_dtype))
     warm = None
     if args.warm_start_gen:
         warm = (args.warm_start_gen, args.warm_start_critic)
@@ -174,18 +182,31 @@ def cmd_convert_tiffs(args):
     from prdisagg_tpu.data.ingest import read_geotiff
     from prdisagg_tpu.data.netcdf_io import convert_and_write_days
 
-    days = sorted(
+    by_day = {}
+    subdirs = sorted(
         d for d in os.listdir(args.tiff_dir)
         if _re.fullmatch(r"\d{8}", d)
         and os.path.isdir(os.path.join(args.tiff_dir, d)))
-    if not days:
-        sys.exit(f"no YYYYMMDD day directories in {args.tiff_dir}")
-
-    def raw_days():
-        for date in days:
-            paths = sorted(
+    if subdirs:
+        for date in subdirs:
+            by_day[date] = sorted(
                 p for p in _glob.glob(os.path.join(args.tiff_dir, date, "*"))
                 if p.lower().endswith((".tif", ".tiff")))
+    else:
+        # flat layout (what `cli download` extracts): group by the first
+        # 8-digit date in each filename
+        for p in sorted(_glob.glob(os.path.join(args.tiff_dir, "*"))):
+            if not p.lower().endswith((".tif", ".tiff")):
+                continue
+            m = _re.search(r"(\d{8})", os.path.basename(p))
+            if m:
+                by_day.setdefault(m.group(1), []).append(p)
+    if not by_day:
+        sys.exit(f"no YYYYMMDD day directories or dated .tif files in "
+                 f"{args.tiff_dir}")
+
+    def raw_days():
+        for date, paths in by_day.items():
             print(f"{date}: {len(paths)} tiffs")
             yield date, np.stack([read_geotiff(p) for p in paths])
 
@@ -194,7 +215,7 @@ def cmd_convert_tiffs(args):
     # (convert_smhi_radardata.py:47-52)
     for date in failed:
         print(f"failed: {date}")
-    print(f"converted {len(days) - len(failed)}/{len(days)} days -> "
+    print(f"converted {len(by_day) - len(failed)}/{len(by_day)} days -> "
           f"{args.out_dir}")
 
 
@@ -243,7 +264,11 @@ def cmd_evaluate(args):
     dcfg = _data_config(args)
     ds, dcfg = _load_dataset(args, dcfg)
     exp = ExperimentConfig(data=dcfg, name=args.name)
-    gen = _load_generator(args, exp.model())
+    # infer the architecture from the weight file (reference loads the .h5
+    # with no config, generate_and_evaluate.py:60-63) — evaluating
+    # non-flagship weights (tiny smoke models, width variants) must not
+    # require the flagship config to match
+    gen = _load_generator(args, n_cond_channels=dcfg.n_cond_channels)
     if gen is None:
         sys.exit("evaluate requires --weights")
     ev = Evaluator(exp, ds, gen, workdir=args.workdir, epoch=args.epoch)
@@ -662,6 +687,10 @@ def build_parser():
                    help="strict reference-protocol precision (the reference "
                         "trains implicit float32); same as "
                         "--compute-dtype float32")
+    t.add_argument("--model-preset", choices=["flagship", "tiny"],
+                   default="flagship",
+                   help="'tiny' = shrunken smoke architecture for pipeline "
+                        "rehearsals/CI (NOT a benchmark or parity config)")
     t.set_defaults(fn=cmd_train)
 
     ct = sub.add_parser("convert-tiffs", help="raw 5-min radar GeoTIFFs -> "

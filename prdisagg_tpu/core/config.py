@@ -168,6 +168,13 @@ class TrainConfig:
     # reads in place, 63 steps/s).  Auto picks Pallas when the device tensor
     # exceeds 256 MB.
     pallas_gather: Optional[bool] = None
+    # Memory lever for big domains: split the hoisted (n_disc*B) generator
+    # forward into this many sequential chunks (lax.map).  Identical
+    # outputs modulo fp summation order; peak HLO-temp scales ~1/chunks.
+    # At 64x64 the one-shot f32 b64 forward alone overflows HBM
+    # (docs/PERF.md 64x64 lever table) — chunks=n_disc restores B-sized
+    # forwards without giving up the hoisting structure.  1 = off.
+    hoisted_chunks: int = 1
     # Orbax full-state checkpoint cadence.  Every-epoch Orbax + dual-format
     # exports dragged sustained throughput to ~30 steps/s on a 1-core host
     # (docs/PERF.md round 2) — the reference only writes .h5 weights per
@@ -298,6 +305,19 @@ def production_train_config(**overrides) -> TrainConfig:
     kw: dict = dict(schedule=((20, 32), (30, 128)), ema_decay=0.999)
     kw.update(overrides)
     return TrainConfig(**kw)
+
+
+def smoke_model_config(ndomain: int = 16, n_cond_channels: int = 1,
+                       compute_dtype: Optional[str] = None) -> ModelConfig:
+    """Shrunken architecture for smoke tests and pipeline rehearsals
+    (cli train --model-preset tiny).  NOT a benchmark or parity config —
+    it exists so end-to-end file-contract drills don't pay flagship-width
+    compute on CPU."""
+    kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
+    return ModelConfig(
+        ndomain=ndomain, n_cond_channels=n_cond_channels,
+        latent_dim=8, gen_channels=(8, 8, 8), base_channels=8,
+        critic_channels=(8, 8, 8, 8), **kw)
 
 
 def large_domain_experiment() -> ExperimentConfig:

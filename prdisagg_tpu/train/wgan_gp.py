@@ -77,6 +77,7 @@ def make_train_step(
     donate: bool = True,
     steps_per_call: int = 1,
     fused_gen_forward: bool = False,
+    hoisted_chunks: Optional[int] = None,
 ):
     """Build the fused jitted train step: (state, ds) -> (state, metrics).
 
@@ -102,6 +103,19 @@ def make_train_step(
     tx = make_optimizer(train_cfg)
     shard = _batch_sharder(mesh)
     n_disc = train_cfg.n_disc
+    # memory lever (TrainConfig.hoisted_chunks): chunk the hoisted
+    # (n_disc*B) generator forward; peak HLO temp scales ~1/chunks
+    hoisted_chunks = (train_cfg.hoisted_chunks if hoisted_chunks is None
+                      else hoisted_chunks)
+    if hoisted_chunks > 1:
+        if fused_gen_forward:
+            raise ValueError(
+                "hoisted_chunks and fused_gen_forward are mutually "
+                "exclusive (the fused path needs one vjp forward)")
+        if (n_disc * batch_size) % hoisted_chunks:
+            raise ValueError(
+                f"hoisted_chunks={hoisted_chunks} must divide "
+                f"n_disc*batch_size={n_disc * batch_size}")
     gp_weight = train_cfg.gp_weight
     latent_dim = model_cfg.latent_dim
     # Pallas gather: None = auto by data size (TrainConfig.pallas_gather);
@@ -211,6 +225,21 @@ def make_train_step(
             fake = jax.lax.stop_gradient(
                 fake_all[: n_disc * batch_size]).reshape(
                 n_disc, batch_size, *fake_all.shape[1:])
+        elif hoisted_chunks > 1:
+            # sequential chunked forward: same samples/RNG as the one-shot
+            # hoisted forward (latents are computed above), ~1/chunks the
+            # peak activation memory, B-or-larger kernels kept
+            lat_f, cond_f = flat(latent), flat(cond)
+            lat_c = lat_f.reshape(hoisted_chunks, -1, *lat_f.shape[1:])
+            cond_c = cond_f.reshape(hoisted_chunks, -1, *cond_f.shape[1:])
+
+            def chunk_fwd(xs):
+                la, co = xs
+                return gen.apply(state.gen_params, shard(la), shard(co))
+
+            fake = jax.lax.map(chunk_fwd, (lat_c, cond_c))
+            fake = jax.lax.stop_gradient(fake).reshape(
+                n_disc, batch_size, *fake.shape[3:])
         else:
             fake = gen.apply(state.gen_params, shard(flat(latent)),
                              shard(flat(cond)))

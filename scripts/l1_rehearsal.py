@@ -152,10 +152,13 @@ def main(argv=None):
 
     # stage 4: train from the files on disk
     train_dir = os.path.join(wd, "train")
+    # tiny preset: the rehearsal drills the FILE CONTRACTS, not model
+    # quality — flagship width at f32 on one CPU core times out (>25 min)
     run_cli(wd, "train", "--data", tensor_path, "--indices", pkls[0],
             "--startdate", start, "--enddate", end,
             "--schedule", f"{args.epochs}:16", "--n-disc", "1",
             "--steps-per-epoch", str(args.steps_per_epoch),
+            "--model-preset", "tiny",
             "--f32-parity", "--workdir", train_dir, "--name", "l1rehearsal")
     h5s = sorted(glob.glob(os.path.join(
         train_dir, "trained_models", "l1rehearsal", "gen_*.h5")))

@@ -25,7 +25,10 @@ def _fake_spawn(script):
 
     def spawn(phase, attempt, tiny, timeout_s=None):
         calls.append((phase, attempt))
-        seq = script[phase]
+        seq = script.get(phase)
+        if seq is None:  # unscripted (e.g. soft MFU phases): benign failure
+            return {"ok": False, "kind": "other",
+                    "error": f"phase {phase} not scripted"}
         return dict(seq[min(attempt, len(seq) - 1)])
 
     spawn.calls = calls
@@ -304,6 +307,46 @@ def test_device_counted_flops_skips_fallback():
     assert report["extras"]["flops_per_step"] == 4_000_000_000
     assert "flops_source" not in report["extras"]
     assert not [c for c in spawn.calls if c[0] == "flops"]
+
+
+def test_mfu_context_phases_populate_extras():
+    """VERDICT round-4 item 5: the b128 schedule stage and the 64x64 step
+    carry their own steps/s + tflops + MFU in extras, with CPU-lowering
+    flops fallback per phase."""
+    spawn = _fake_spawn({
+        "bf16": [OK_BF16], "f32": [OK_F32], "scen": [OK_SCEN],
+        "flops": [OK_FLOPS],
+        "b128": [{"ok": True, "value": 36.0, "batch_size": 128}],
+        "ld64": [{"ok": True, "value": 5.5, "batch_size": 32,
+                  "flops_per_step": 7_157_000_000_000}],
+        "flops_b128": [{"ok": True, "flops_per_step": 160_000_000_000}],
+    })
+    report, rc = bench.orchestrate(spawn=spawn)
+    assert rc == 0
+    ex = report["extras"]
+    assert ex["b128_steps_per_sec"] == 36.0
+    assert ex["b128_sample_updates_per_sec"] == round(36.0 * 128 * 6, 1)
+    assert ex["b128_tflops_per_sec"] == round(36.0 * 160e9 / 1e12, 2)
+    # ld64 counted flops in-process: no fallback spawn for it
+    assert ex["ld64_tflops_per_sec"] == round(5.5 * 7.157e12 / 1e12, 2)
+    assert ex["ld64_mfu_vs_bf16_peak"] == round(
+        5.5 * 7.157e12 / 1e12 / bench.PEAK_TFLOPS_DEFAULT, 4)
+    assert not [c for c in spawn.calls if c[0] == "flops_ld64"]
+    assert [c for c in spawn.calls if c[0] == "flops_b128"] == [
+        ("flops_b128", 0)]
+
+
+def test_mfu_context_phase_failure_is_soft():
+    """A failing b128/ld64 phase must not fail the bench or erase the
+    headline."""
+    spawn = _fake_spawn({
+        "bf16": [OK_BF16], "f32": [OK_F32], "scen": [OK_SCEN],
+        "flops": [OK_FLOPS]})  # b128/ld64 unscripted -> benign failure
+    report, rc = bench.orchestrate(spawn=spawn)
+    assert rc == 0
+    assert report["value"] == 96.0
+    assert "b128_error" in report["extras"]
+    assert "ld64_error" in report["extras"]
 
 
 def test_flops_fallback_failure_is_soft():
