@@ -239,7 +239,7 @@ def make_train_step(
 
             fake = jax.lax.map(chunk_fwd, (lat_c, cond_c))
             fake = jax.lax.stop_gradient(fake).reshape(
-                n_disc, batch_size, *fake.shape[3:])
+                n_disc, batch_size, *fake.shape[2:])
         else:
             fake = gen.apply(state.gen_params, shard(flat(latent)),
                              shard(flat(cond)))

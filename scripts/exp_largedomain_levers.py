@@ -37,7 +37,8 @@ ART = os.path.join(REPO, "artifacts")
 PEAK_TFLOPS = 197.0  # v5e bf16 dense peak (bench.py PEAK_TFLOPS_BF16)
 CONFIG_TIMEOUT_S = 2700  # cold remote compiles can take ~25 min
 
-# key -> (dtype, batch, steps_per_call, fused_upsample, fused_gen_forward)
+# key -> (dtype, batch, steps_per_call, fused_upsample, fused_gen_forward
+#          [, hoisted_chunks])
 CONFIGS = {
     "bf16_b32_k1": ("bfloat16", 32, 1, True, False),
     "bf16_b32_k5": ("bfloat16", 32, 5, True, False),
@@ -47,6 +48,13 @@ CONFIGS = {
     "bf16_b32_k1_genfwd": ("bfloat16", 32, 1, True, True),
     "f32_b32_k1": ("float32", 32, 1, True, False),
     "f32_b64_k1": ("float32", 64, 1, True, False),
+    # hoisted_chunks memory lever (TrainConfig.hoisted_chunks): chunk the
+    # (n_disc*B) hoisted generator forward to fit shapes that OOM one-shot
+    "f32_b64_c5": ("float32", 64, 1, True, False, 5),
+    "bf16_b128_c5": ("bfloat16", 128, 1, True, False, 5),
+    "bf16_b64_c5": ("bfloat16", 64, 1, True, False, 5),
+    "bf16_b128_c2": ("bfloat16", 128, 1, True, False, 2),
+    "bf16_b256_c10": ("bfloat16", 256, 1, True, False, 10),
 }
 
 
@@ -62,7 +70,11 @@ def _setup_jax(platform=None):
 
 
 def _build(key, for_flops=False):
-    dtype, batch, k, fused_up, gen_fwd = CONFIGS[key]
+    dtype, batch, k, fused_up, gen_fwd, *rest = CONFIGS[key]
+    # FLOP counting always lowers the ONE-SHOT form: chunking does not
+    # change the arithmetic, but cost_analysis counts a lax.map body once
+    # (measured: bf16_b64_c5 read 8.7T vs the true 14.3T)
+    chunks = 1 if for_flops else (rest[0] if rest else 1)
     from prdisagg_tpu.core.config import (DataConfig, ModelConfig,
                                           TrainConfig)
     from prdisagg_tpu.data.sampler import DeviceDataset
@@ -77,7 +89,8 @@ def _build(key, for_flops=False):
     tcfg = TrainConfig(seed=0)
     state, gen, critic = create_train_state(mcfg, tcfg)
     step = make_train_step(gen, critic, mcfg, tcfg, batch,
-                           steps_per_call=k, fused_gen_forward=gen_fwd)
+                           steps_per_call=k, fused_gen_forward=gen_fwd,
+                           hoisted_chunks=chunks)
     return step, state, ds, k, batch
 
 
@@ -118,7 +131,7 @@ def _flops(key):
     axon PJRT client lacks cost_analysis; the op-graph count is
     backend-independent — same fallback bench.py uses)."""
     _setup_jax("cpu")
-    step, state, ds, k, _ = _build(key)
+    step, state, ds, k, _ = _build(key, for_flops=True)
     cost = step.lower(state, ds).cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
@@ -154,13 +167,19 @@ def main():
 
     only = sys.argv[1:] if len(sys.argv) > 1 else list(CONFIGS)
     os.makedirs(ART, exist_ok=True)
+    # partial runs (explicit key args) merge into the existing table
+    # instead of clobbering the other configs' results
     results = {}
+    prev = os.path.join(ART, "exp_largedomain_levers.json")
+    if os.path.exists(prev):
+        with open(prev) as f:
+            results.update(json.load(f))
     # FLOP counts are dtype-independent: count once per distinct
     # (batch, fused_up, gen_fwd) shape on CPU, reuse across dtypes
     flops_cache = {}
     for key in only:
-        dtype, batch, k, fused_up, gen_fwd = CONFIGS[key]
-        shape_sig = (batch, fused_up, gen_fwd)
+        dtype, batch, k, fused_up, gen_fwd, *rest = CONFIGS[key]
+        shape_sig = (batch, fused_up, gen_fwd)  # one-shot flops, see _build
         if shape_sig not in flops_cache:
             fl = _spawn("--flops", key)
             flops_cache[shape_sig] = fl.get("flops_per_step")

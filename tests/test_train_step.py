@@ -226,3 +226,48 @@ def test_ema_generator_tracking(small_setup):
     n_ema = len(jax.tree_util.tree_leaves(state))
     n_gen = len(jax.tree_util.tree_leaves(state0.gen_params))
     assert n_ema == n_default + n_gen
+
+
+def test_hoisted_chunks_matches_one_shot():
+    """TrainConfig.hoisted_chunks (the 64x64 memory lever) must produce the
+    SAME step as the one-shot hoisted forward — same samples, same RNG
+    streams, identical losses to fp tolerance — and reject invalid
+    configurations."""
+    from prdisagg_tpu.data.synthetic import make_synthetic_dataset
+
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32,
+                                                 seed=3)
+    model_cfg = ModelConfig(
+        ndomain=16, latent_dim=8, gen_channels=(16, 16, 8),
+        base_channels=16, critic_channels=(8, 8, 8, 8),
+        compute_dtype="float32",
+    )
+    train_cfg = TrainConfig(n_disc=2, seed=7)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    state, gen, critic = create_train_state(model_cfg, train_cfg)
+
+    step1 = make_train_step(gen, critic, model_cfg, train_cfg, batch_size=4,
+                            donate=False)
+    _, m1 = step1(state, ds)
+    step2 = make_train_step(gen, critic, model_cfg, train_cfg, batch_size=4,
+                            donate=False, hoisted_chunks=2)
+    _, m2 = step2(state, ds)
+    for k in ("d_loss", "g_loss", "gp", "w_distance"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5,
+                                   err_msg=k)
+
+    # config plumbing: TrainConfig.hoisted_chunks reaches the step builder
+    tc_chunked = TrainConfig(n_disc=2, seed=7, hoisted_chunks=2)
+    step3 = make_train_step(gen, critic, model_cfg, tc_chunked, batch_size=4,
+                            donate=False)
+    _, m3 = step3(state, ds)
+    np.testing.assert_allclose(float(m1["d_loss"]), float(m3["d_loss"]),
+                               rtol=1e-5)
+
+    with pytest.raises(ValueError, match="must divide"):
+        make_train_step(gen, critic, model_cfg, train_cfg, batch_size=4,
+                        donate=False, hoisted_chunks=3)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_train_step(gen, critic, model_cfg, train_cfg, batch_size=4,
+                        donate=False, hoisted_chunks=2,
+                        fused_gen_forward=True)
