@@ -11,8 +11,11 @@ artifacts (map grids, sample statistics + ECDF/daily-cycle plots) from the
 epoch-8 export, plus the held-out daily-cycle correlation.
 
 Usage: python scripts/large_domain_tpu.py [n_days=300] [epochs=8]
-Writes artifacts/large_domain_tpu.txt and the artifact tree under
-artifacts/large_domain_e2e/.
+                                           [batch=32] [chunks=1]
+batch/chunks override the schedule batch size and TrainConfig.hoisted_chunks
+(round-5 lever: bf16 b128 chunks=5 is the measured 64x64 throughput point,
+docs/PERF.md).  Writes artifacts/large_domain_tpu.txt and the artifact tree
+under artifacts/large_domain_e2e/ (or $LD_WORKDIR).
 """
 
 import glob
@@ -46,14 +49,17 @@ def main():
 
     n_days = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     exp = large_domain_experiment()
     exp = dataclasses.replace(
-        exp, train=TrainConfig(schedule=((epochs, 32),), seed=0,
-                               log_every_steps=50))
+        exp, train=TrainConfig(schedule=((epochs, batch),), seed=0,
+                               log_every_steps=50, hoisted_chunks=chunks))
     dcfg = exp.data
 
-    workdir = os.path.join(REPO, "artifacts", "large_domain_e2e")
+    workdir = os.environ.get(
+        "LD_WORKDIR", os.path.join(REPO, "artifacts", "large_domain_e2e"))
     os.makedirs(workdir, exist_ok=True)
     lines = []
 
@@ -88,7 +94,7 @@ def main():
     t0 = time.perf_counter()
     tr.fit(progress=True)
     t_end = time.perf_counter()
-    spe = max(1, n_train // 32)
+    spe = max(1, n_train // batch)
     steady = (epochs - 1) * spe / (t_end - marks["t1"]) \
         if epochs > 1 and not resumed else float("nan")
     emit(f"[train] {epochs} epochs x {spe} steps: total {t_end - t0:.1f}s, "
@@ -124,8 +130,9 @@ def main():
     emit(f"[artifacts] {len(grids)} map grids (epoch-{epochs} stamp, "
          f"magma_r, 15 fakes/real) + ECDF/daily-cycle plots in {ev.plotdir}")
 
-    with open(os.path.join(REPO, "artifacts", "large_domain_tpu.txt"),
-              "w") as f:
+    suffix = "" if (batch, chunks) == (32, 1) else f"_b{batch}c{chunks}"
+    with open(os.path.join(REPO, "artifacts",
+                           f"large_domain_tpu{suffix}.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
