@@ -51,6 +51,10 @@ def main():
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    # at b128 the async per-epoch .h5 export fetch overlaps the step's
+    # (higher) peak HLO temp and ResourceExhausts the chip (measured) —
+    # big-batch runs export on the final epoch only
+    export_every = int(sys.argv[5]) if len(sys.argv) > 5 else         (1 if batch <= 64 else epochs)
 
     exp = large_domain_experiment()
     exp = dataclasses.replace(
@@ -84,7 +88,8 @@ def main():
             marks["t1"] = time.perf_counter()
 
     tr = Trainer(exp, ds, workdir=workdir, on_epoch_end=on_epoch_end,
-                 plot_every_epochs=0)
+                 plot_every_epochs=0,
+                 export_weights_every_epochs=export_every)
     resumed = tr.maybe_resume()
     if resumed:
         # a supervise/wedge relaunch continues instead of retraining; the
