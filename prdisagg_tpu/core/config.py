@@ -175,6 +175,13 @@ class TrainConfig:
     # (docs/PERF.md 64x64 lever table) — chunks=n_disc restores B-sized
     # forwards without giving up the hoisting structure.  1 = off.
     hoisted_chunks: int = 1
+    # Schedule-friendly alternative: cap the per-chunk SAMPLE count
+    # instead of fixing the chunk count, so a batch schedule like
+    # ((4,32),(4,128)) runs its b32 stage one-shot and its b128 stage
+    # chunked from ONE config (each stage's chunk count is the smallest
+    # divisor of n_disc*batch keeping chunks <= this many samples).
+    # None = off; ignored when hoisted_chunks > 1 is set explicitly.
+    hoisted_chunk_samples: Optional[int] = None
     # Orbax full-state checkpoint cadence.  Every-epoch Orbax + dual-format
     # exports dragged sustained throughput to ~30 steps/s on a 1-core host
     # (docs/PERF.md round 2) — the reference only writes .h5 weights per

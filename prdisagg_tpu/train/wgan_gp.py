@@ -107,6 +107,14 @@ def make_train_step(
     # (n_disc*B) generator forward; peak HLO temp scales ~1/chunks
     hoisted_chunks = (train_cfg.hoisted_chunks if hoisted_chunks is None
                       else hoisted_chunks)
+    if hoisted_chunks <= 1 and train_cfg.hoisted_chunk_samples:
+        # per-stage auto mode: smallest chunk count that (a) divides
+        # n_disc*B and (b) keeps each chunk at or under the sample cap
+        total = n_disc * batch_size
+        cap = train_cfg.hoisted_chunk_samples
+        hoisted_chunks = next(
+            (c for c in range(max(1, -(-total // cap)), total + 1)
+             if total % c == 0 and total // c <= cap), total)
     if hoisted_chunks > 1:
         if fused_gen_forward:
             raise ValueError(

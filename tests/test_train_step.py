@@ -271,3 +271,43 @@ def test_hoisted_chunks_matches_one_shot():
         make_train_step(gen, critic, model_cfg, train_cfg, batch_size=4,
                         donate=False, hoisted_chunks=2,
                         fused_gen_forward=True)
+
+
+def test_hoisted_chunk_samples_auto():
+    """hoisted_chunk_samples caps per-chunk sample count per schedule
+    stage: under the cap -> one-shot, over it -> the smallest dividing
+    chunk count."""
+    from prdisagg_tpu.data.synthetic import make_synthetic_dataset
+
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32,
+                                                 seed=3)
+    model_cfg = ModelConfig(
+        ndomain=16, latent_dim=8, gen_channels=(16, 16, 8),
+        base_channels=16, critic_channels=(8, 8, 8, 8),
+        compute_dtype="float32",
+    )
+    tc = TrainConfig(n_disc=2, seed=7, hoisted_chunk_samples=8)
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    state, gen, critic = create_train_state(model_cfg, tc)
+
+    # b4: n_disc*B = 8 <= cap -> one-shot; must equal the plain step
+    ref = make_train_step(gen, critic, model_cfg,
+                          TrainConfig(n_disc=2, seed=7), batch_size=4,
+                          donate=False)
+    _, m_ref = ref(state, ds)
+    s4 = make_train_step(gen, critic, model_cfg, tc, batch_size=4,
+                         donate=False)
+    _, m4 = s4(state, ds)
+    np.testing.assert_allclose(float(m_ref["d_loss"]), float(m4["d_loss"]),
+                               rtol=1e-6)
+    # b8: n_disc*B = 16 > cap -> 2 chunks of 8; equals the plain step to
+    # fp tolerance (identical samples, chunked summation)
+    ref8 = make_train_step(gen, critic, model_cfg,
+                           TrainConfig(n_disc=2, seed=7), batch_size=8,
+                           donate=False)
+    _, m_ref8 = ref8(state, ds)
+    s8 = make_train_step(gen, critic, model_cfg, tc, batch_size=8,
+                         donate=False)
+    _, m8 = s8(state, ds)
+    np.testing.assert_allclose(float(m_ref8["d_loss"]),
+                               float(m8["d_loss"]), rtol=1e-5)
