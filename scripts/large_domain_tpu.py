@@ -49,17 +49,31 @@ def main():
 
     n_days = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    batch_arg = sys.argv[3] if len(sys.argv) > 3 else "32"
     chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+
+    tkw = dict(seed=0, log_every_steps=50)
+    if ":" in batch_arg:
+        # batch SCHEDULE, e.g. "4:32,4:128"; the chunks arg then means
+        # hoisted_chunk_samples (per-stage auto chunking)
+        from prdisagg_tpu.core.config import parse_schedule
+
+        schedule = parse_schedule(batch_arg)
+        epochs = sum(e for e, _ in schedule)
+        batch = schedule[-1][1]
+        tkw.update(schedule=schedule,
+                   hoisted_chunk_samples=chunks if chunks > 1 else None)
+    else:
+        batch = int(batch_arg)
+        tkw.update(schedule=((epochs, batch),), hoisted_chunks=chunks)
     # at b128 the async per-epoch .h5 export fetch overlaps the step's
     # (higher) peak HLO temp and ResourceExhausts the chip (measured) —
     # big-batch runs export on the final epoch only
-    export_every = int(sys.argv[5]) if len(sys.argv) > 5 else         (1 if batch <= 64 else epochs)
+    export_every = int(sys.argv[5]) if len(sys.argv) > 5 else \
+        (1 if batch <= 64 else epochs)
 
     exp = large_domain_experiment()
-    exp = dataclasses.replace(
-        exp, train=TrainConfig(schedule=((epochs, batch),), seed=0,
-                               log_every_steps=50, hoisted_chunks=chunks))
+    exp = dataclasses.replace(exp, train=TrainConfig(**tkw))
     dcfg = exp.data
 
     workdir = os.environ.get(
@@ -135,7 +149,8 @@ def main():
     emit(f"[artifacts] {len(grids)} map grids (epoch-{epochs} stamp, "
          f"magma_r, 15 fakes/real) + ECDF/daily-cycle plots in {ev.plotdir}")
 
-    suffix = "" if (batch, chunks) == (32, 1) else f"_b{batch}c{chunks}"
+    suffix = "" if (batch_arg, chunks) == ("32", 1) else \
+        f"_b{batch_arg.replace(':', '-').replace(',', '_')}c{chunks}"
     with open(os.path.join(REPO, "artifacts",
                            f"large_domain_tpu{suffix}.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")

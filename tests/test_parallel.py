@@ -416,3 +416,40 @@ def test_2d_mesh_data_by_spatial_train_step():
                                rtol=1e-4)
     np.testing.assert_allclose(float(m1["g_loss"]), float(m2["g_loss"]),
                                rtol=5e-3)
+
+
+def test_dp_step_with_hoisted_chunks_matches_single_device():
+    """The chunked hoisted forward (TrainConfig.hoisted_chunks — the 64x64
+    memory lever) composes with the DP mesh: the shard constraint inside
+    the lax.map chunk body must still yield the single-device result."""
+    data, indices, dcfg = make_synthetic_dataset(n_days=4, ny=32, nx=32,
+                                                 seed=6)
+    model_cfg = ModelConfig(
+        ndomain=16, latent_dim=8,
+        gen_channels=(8, 8, 8), base_channels=8, critic_channels=(8, 8, 8, 8),
+        compute_dtype="float32",  # semantics test: bf16 reduction-order
+    )                             # noise would need a sloppy tolerance
+    train_cfg = TrainConfig(n_disc=2, seed=9, hoisted_chunks=2)
+
+    ds = DeviceDataset.from_numpy(data, indices, dcfg)
+    state, gen, critic = create_train_state(model_cfg, train_cfg)
+
+    step_single = make_train_step(gen, critic, model_cfg, train_cfg,
+                                  batch_size=8, donate=False)
+    _, m_single = step_single(state, ds)
+
+    mesh = make_mesh(8)
+    ds_r = replicate(ds, mesh)
+    state_r = replicate(state, mesh)
+    step_dp = make_train_step(gen, critic, model_cfg, train_cfg,
+                              batch_size=8, mesh=mesh, donate=False)
+    _, m_dp = step_dp(state_r, ds_r)
+
+    # atol: the seed-9 d_loss lands near zero (-4.5e-4) where rtol alone
+    # trips on a 5e-8 absolute difference
+    np.testing.assert_allclose(
+        float(m_single["d_loss"]), float(m_dp["d_loss"]), rtol=1e-4,
+        atol=1e-6)
+    np.testing.assert_allclose(
+        float(m_single["g_loss"]), float(m_dp["g_loss"]), rtol=1e-4,
+        atol=1e-6)
