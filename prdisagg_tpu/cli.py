@@ -103,6 +103,10 @@ def cmd_train(args):
             sys.exit(f"bad --schedule: {err}")
     if args.ema_decay is not None:
         explicit["ema_decay"] = args.ema_decay
+    if args.hoisted_chunks is not None:
+        explicit["hoisted_chunks"] = args.hoisted_chunks
+    if args.hoisted_chunk_samples is not None:
+        explicit["hoisted_chunk_samples"] = args.hoisted_chunk_samples
     if args.production:
         from prdisagg_tpu.core.config import production_train_config
 
@@ -687,6 +691,15 @@ def build_parser():
                    help="strict reference-protocol precision (the reference "
                         "trains implicit float32); same as "
                         "--compute-dtype float32")
+    t.add_argument("--hoisted-chunks", dest="hoisted_chunks", type=int,
+                   default=None,
+                   help="chunk the hoisted (n_disc*B) generator forward "
+                        "into N sequential pieces (big-domain memory "
+                        "lever; docs/PERF.md 64x64 table)")
+    t.add_argument("--hoisted-chunk-samples", dest="hoisted_chunk_samples",
+                   type=int, default=None,
+                   help="cap per-chunk samples instead (auto chunk count "
+                        "per schedule stage; e.g. 128 at ndomain=64)")
     t.add_argument("--model-preset", choices=["flagship", "tiny"],
                    default="flagship",
                    help="'tiny' = shrunken smoke architecture for pipeline "

@@ -369,3 +369,22 @@ def test_cli_serve_sigterm_clean_shutdown(tmp_path):
     assert proc.returncode == 0, out
     assert "shutting down" in out and "bye" in out
     assert not os.path.exists(sock)  # no stale socket file
+
+
+def test_cli_train_hoisted_chunks(tmp_path, monkeypatch):
+    """--hoisted-chunks / --hoisted-chunk-samples reach the TrainConfig
+    (the 64x64 memory lever is CLI-drivable)."""
+    monkeypatch.chdir(tmp_path)
+    main([
+        "train", "--synthetic", "--synthetic-days", "4",
+        "--synthetic-size", "32", "--schedule", "1:4",
+        "--n-disc", "2", "--steps-per-epoch", "2", "--f32-parity",
+        "--model-preset", "tiny", "--hoisted-chunks", "2",
+        "--workdir", str(tmp_path), "--name", "chunksmoke",
+    ])
+    assert glob.glob(str(tmp_path / "trained_models" / "chunksmoke"
+                         / "gen_*.h5"))
+    import json
+    with open(tmp_path / "run_config.json") as f:
+        rc = json.load(f)
+    assert rc["experiment"]["train"]["hoisted_chunks"] == 2
