@@ -241,6 +241,18 @@ def cmd_reformat_nc(args):
     save_training_tensor(prefix, tensor)
     print(f"reformatted {len(paths)} days -> {prefix}.npy "
           f"shape {tensor.shape}")
+    # day-of-year sidecar for the doy conditioning variant (reference:
+    # reformat_data_make_timelist.py:58-62).  The dates come from the
+    # day-file names, so the sidecar stays aligned with skipped days.
+    from prdisagg_tpu.data.ingest import day_of_year
+    from prdisagg_tpu.data.netcdf_io import DAY_FILE_RE
+
+    dates = [DAY_FILE_RE.search(os.path.basename(p)).group(1)
+             for p in paths]
+    doy_path = (prefix + "_doy.npy" if args.out
+                else dcfg.doy_filename())
+    np.save(doy_path, day_of_year(dates))
+    print(f"doy sidecar ({len(dates)} days) -> {doy_path}")
 
 
 def _load_generator(args, model_cfg=None, **kw):

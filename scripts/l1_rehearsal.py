@@ -136,6 +136,12 @@ def main(argv=None):
     assert os.path.exists(tensor_path.replace(".npy", ".npz"))
     summary["tensor"] = os.path.basename(tensor_path)
     summary["tensor_shape"] = list(np.load(tensor_path, mmap_mode="r").shape)
+    # doy sidecar (reformat_data_make_timelist.py contract) rides along
+    doy_path = os.path.join(wd, f"{start}-{end}_tres1_doy.npy")
+    assert os.path.exists(doy_path), doy_path
+    doy = np.load(doy_path)
+    assert len(doy) == args.days and doy[0] == 1.0  # Jan 1
+    summary["doy_sidecar"] = os.path.basename(doy_path)
 
     # stage 3: valid indices (reference pickle contract)
     run_cli(wd, "compute-indices", "--data", tensor_path,

@@ -39,6 +39,7 @@ def test_l1_rehearsal_end_to_end(tmp_path):
     assert s["raw_files"] == 3 * 288
     assert s["nc_files"] == [f"smhi_radar_2009010{d}.nc" for d in (1, 2, 3)]
     assert s["tensor_shape"][:2] == [3, 24]
+    assert s["doy_sidecar"] == "20090101-20090103_tres1_doy.npy"
     assert s["weights"].startswith("gen_") and s["weights"].endswith(".h5")
     assert s["eval_plots"] > 0
     # the parity gate ran and produced a verdict (FAIL is fine for a
