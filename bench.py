@@ -50,10 +50,10 @@ PHASES = ("bf16", "f32", "scen")
 # MFU-context phases (VERDICT round-4 item 5): the b128 schedule stage and
 # the 64x64 large-domain step, so the headline's ~2%-at-tiny-shapes MFU
 # stops standing alone.  Soft: their failure never fails the bench.
-MFU_PHASES = ("b128", "ld64")
+MFU_PHASES = ("b128", "ld64", "ld128")
 # "flops*" are on-demand fallback phases (CPU lowering of the same
 # program), spawned only when a train phase could not count FLOPs on-device
-FLOPS_PHASES = ("flops", "flops_b128", "flops_ld64")
+FLOPS_PHASES = ("flops", "flops_b128", "flops_ld64", "flops_ld128")
 ALL_PHASES = PHASES + MFU_PHASES + FLOPS_PHASES
 MAX_ATTEMPTS = 3
 PHASE_TIMEOUT_S = 2700  # cold-cache remote compiles through the tunnel can
@@ -130,7 +130,7 @@ def _setup_jax():
 # ---------------------------------------------------------------------------
 
 def _flagship_step(compute_dtype: str, tiny: bool, batch_size: int = None,
-                   ndomain: int = 16):
+                   ndomain: int = 16, hoisted_chunks: int = 1):
     """Build the flagship fused step exactly as the train phases measure it;
     returns (step, state, ds, k, batch_size).  ndomain=64 builds the
     large-domain (n_thresh=40) variant with steps_per_call=1 (chunking is
@@ -174,7 +174,7 @@ def _flagship_step(compute_dtype: str, tiny: bool, batch_size: int = None,
     else:
         k = 2 if tiny else 10
     step = make_train_step(gen, critic, model_cfg, train_cfg, batch_size,
-                           steps_per_call=k)
+                           steps_per_call=k, hoisted_chunks=hoisted_chunks)
     return step, state, ds, k, batch_size
 
 
@@ -188,20 +188,24 @@ def _flops_of(step, state, ds, k) -> float:
     return float(cost["flops"]) / k
 
 
-# phase -> (compute_dtype, batch_size or None=default, ndomain)
+# phase -> (compute_dtype, batch_size or None=default, ndomain, chunks)
 _TRAIN_PHASE_SPECS = {
-    "bf16": ("bfloat16", None, 16),
-    "f32": ("float32", None, 16),
-    "b128": ("bfloat16", 128, 16),   # the production schedule's tail stage
-    "ld64": ("bfloat16", 32, 64),    # the large-domain variant step
+    "bf16": ("bfloat16", None, 16, 1),
+    "f32": ("float32", None, 16, 1),
+    "b128": ("bfloat16", 128, 16, 1),  # the production schedule's tail stage
+    "ld64": ("bfloat16", 32, 64, 1),   # the large-domain reference step
+    # the measured large-domain THROUGHPUT point: hoisted_chunks=5 makes
+    # b128 fit (docs/PERF.md 64x64 lever table — 1652 sample-updates/s)
+    "ld128": ("bfloat16", 128, 64, 5),
 }
 
 
 def _train_spec(phase: str, tiny: bool):
-    dtype, batch, ndomain = _TRAIN_PHASE_SPECS[phase]
+    dtype, batch, ndomain, chunks = _TRAIN_PHASE_SPECS[phase]
     if tiny and batch is not None:
-        batch = 8 if phase == "b128" else 4
-    return dtype, batch, ndomain
+        # shrunken batches aren't divisible by the production chunk count
+        batch, chunks = (8 if batch == 128 else 4), 1
+    return dtype, batch, ndomain, chunks
 
 
 def _measure_flops(phase: str, tiny: bool) -> dict:
@@ -215,16 +219,18 @@ def _measure_flops(phase: str, tiny: bool) -> dict:
     jax = _setup_jax()
     jax.config.update("jax_platforms", "cpu")  # sitecustomize latches axon
     target = phase.split("_", 1)[1] if "_" in phase else "bf16"
-    dtype, batch, ndomain = _train_spec(target, tiny)
+    dtype, batch, ndomain, _chunks = _train_spec(target, tiny)
+    # one-shot lowering: chunking doesn't change the arithmetic, and
+    # cost_analysis counts a lax.map body only once (measured)
     step, state, ds, k, _ = _flagship_step(dtype, tiny, batch, ndomain)
     return {"flops_per_step": round(_flops_of(step, state, ds, k))}
 
 
 def _measure_train(phase: str, tiny: bool) -> dict:
     jax = _setup_jax()
-    dtype, batch, ndomain = _train_spec(phase, tiny)
+    dtype, batch, ndomain, chunks = _train_spec(phase, tiny)
     step, state, ds, k, batch_size = _flagship_step(dtype, tiny, batch,
-                                                    ndomain)
+                                                    ndomain, chunks)
     flops_per_step = None
     try:
         flops_per_step = _flops_of(step, state, ds, k)
@@ -234,7 +240,7 @@ def _measure_train(phase: str, tiny: bool) -> dict:
     if bool(metrics["nonfinite"]):         # host fetch = hard sync
         raise NonFiniteLoss(f"non-finite loss in {phase} warmup")
     # ld64 runs K=1 at ~5.5 steps/s: more calls for a stable window
-    n_calls = 1 if tiny else (30 if phase == "ld64" else 5)
+    n_calls = 1 if tiny else (30 if phase in ("ld64", "ld128") else 5)
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, metrics = step(state, ds)
