@@ -232,10 +232,14 @@ def _measure_train(phase: str, tiny: bool) -> dict:
     step, state, ds, k, batch_size = _flagship_step(dtype, tiny, batch,
                                                     ndomain, chunks)
     flops_per_step = None
-    try:
-        flops_per_step = _flops_of(step, state, ds, k)
-    except Exception:
-        pass  # axon lacks cost_analysis — orchestrator falls back to CPU
+    if chunks == 1:
+        # chunked programs must NOT count in-process: cost_analysis counts
+        # a lax.map body once (measured ~40% undercount at ld128) — the
+        # orchestrator's flops_<phase> fallback lowers the one-shot form
+        try:
+            flops_per_step = _flops_of(step, state, ds, k)
+        except Exception:
+            pass  # axon lacks cost_analysis — orchestrator falls back
     state, metrics = step(state, ds)       # warmup / compile
     if bool(metrics["nonfinite"]):         # host fetch = hard sync
         raise NonFiniteLoss(f"non-finite loss in {phase} warmup")
@@ -428,7 +432,17 @@ def _preflight(deadline: float) -> dict | None:
     min_measure_s = 300.0  # least budget worth entering the phase plan with
     t0 = time.monotonic()
     attempts = 0
+    res = {"ok": False, "detail": "never probed"}
     while True:
+        # budget floor checked BEFORE probing: a probe that succeeds with
+        # less than min_measure_s left would enter a phase plan that can
+        # only record budget-exhausted errors
+        remaining = deadline - time.monotonic()
+        if attempts and remaining < 120 + min_measure_s:
+            res = dict(res)
+            res["probe_attempts"] = attempts
+            res["probe_wall_s"] = round(time.monotonic() - t0, 1)
+            return res
         attempts += 1
         res = probe_backend(timeout_s=120)
         if res["ok"]:
@@ -460,8 +474,15 @@ def _last_verified() -> dict | None:
     import glob
 
     root = os.path.dirname(os.path.abspath(__file__))
+    # bench_last_ok.json is written by bench itself on every successful
+    # run, so when present it IS the newest verified record — mtime
+    # ordering alone is unreliable on a fresh clone, where every committed
+    # artifact shares its checkout time
+    candidates = [os.path.join(root, "artifacts", "bench_last_ok.json")]
+    candidates += sorted(
+        glob.glob(os.path.join(root, "artifacts", "bench_*.json")))
     best = None
-    for p in glob.glob(os.path.join(root, "artifacts", "bench_*.json")):
+    for p in candidates:
         try:
             with open(p) as f:
                 d = json.load(f)
@@ -473,6 +494,9 @@ def _last_verified() -> dict | None:
         if d.get("extras", {}).get("tiny_model_not_a_benchmark"):
             continue
         mt = os.path.getmtime(p)
+        if p.endswith("bench_last_ok.json"):
+            best = (mt, p, d)
+            break
         if best is None or mt > best[0]:
             best = (mt, p, d)
     if best is None:

@@ -212,7 +212,16 @@ def cmd_convert_tiffs(args):
     def raw_days():
         for date, paths in by_day.items():
             print(f"{date}: {len(paths)} tiffs")
-            yield date, np.stack([read_geotiff(p) for p in paths])
+            try:
+                # an empty day dir or one corrupt tiff must fail THAT day,
+                # not the whole multi-year conversion (skip-and-log
+                # contract, convert_smhi_radardata.py:47-52)
+                raw = np.stack([read_geotiff(p) for p in paths]) \
+                    if paths else None
+            except Exception as e:  # noqa: BLE001 — per-day isolation
+                print(f"{date}: read failed ({e})")
+                raw = None
+            yield date, raw  # None -> convert_and_write_days records it
 
     failed = convert_and_write_days(raw_days(), args.out_dir)
     # reference behaviour: failed days are skipped and logged, not fatal

@@ -56,15 +56,18 @@ def initialize_multihost(
 
 
 def _is_no_cluster_error(msg: str) -> bool:
-    """True when the initialize failure means 'no cluster environment was
-    detected' (the benign single-process case), as opposed to a genuinely
-    broken multi-host launch."""
+    """True ONLY for the nothing-was-detected signature (the benign
+    single-process case).  Deliberately narrow: a PARTIALLY detected
+    cluster (e.g. coordinator found but 'process_id must be specified')
+    is a misconfigured launch and must re-raise — matching generic
+    'must be specified' here would reintroduce the silent degradation
+    this policy exists to eliminate."""
     return any(s in msg for s in (
         "none of the distributed environment detectors",
         "could not be detected",
         "unable to detect",
-        "coordinator_address",   # auto-detect found nothing to fill it
-        "must be specified",
+        # jax's exact wording when auto-detection found no launcher at all
+        "coordinator_address should be defined",
     ))
 
 

@@ -159,11 +159,42 @@ def _spawn(mode, key):
     return json.loads(line)
 
 
+def _write_results(results):
+    """Persist the table NOW — called after every config so a queue
+    timeout (SIGTERM) or mid-loop crash never discards finished
+    measurements (hours of chip time)."""
+    with open(os.path.join(ART, "exp_largedomain_levers.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    lines = ["64x64 large-domain lever table (v5e, n_thresh=40; "
+             "steps/s are FUSED 5+1 steps)",
+             f"{'config':26s} {'steps/s':>8s} {'samp-upd/s':>10s} "
+             f"{'TFLOP/s':>8s} {'MFU':>7s}"]
+    for key, r in results.items():
+        if r.get("ok"):
+            lines.append(
+                f"{key:26s} {r['steps_per_sec']:8.2f} "
+                f"{r['sample_updates_per_sec']:10.0f} "
+                f"{r.get('tflops_per_sec', float('nan')):8.2f} "
+                f"{r.get('mfu_vs_bf16_peak', float('nan')):7.4f}")
+        else:
+            lines.append(f"{key:26s}  FAILED({r.get('kind', 'error')}): "
+                         f"{r.get('error', '')[:120]}")
+    out = "\n".join(lines) + "\n"
+    with open(os.path.join(ART, "exp_largedomain_levers.txt"), "w") as f:
+        f.write(out)
+    return out
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         return _one(sys.argv[2])
     if len(sys.argv) >= 3 and sys.argv[1] == "--flops":
         return _flops(sys.argv[2])
+
+    # queue timeouts deliver SIGTERM; convert to SystemExit so the
+    # incremental writes (and subprocess cleanup) are the final state
+    import signal
+    signal.signal(signal.SIGTERM, lambda *a: sys.exit(143))
 
     only = sys.argv[1:] if len(sys.argv) > 1 else list(CONFIGS)
     os.makedirs(ART, exist_ok=True)
@@ -195,27 +226,9 @@ def main():
                 res["tflops_per_sec"] / PEAK_TFLOPS, 4)
         results[key] = res
         print(json.dumps(res), flush=True)
+        _write_results(results)  # incremental: survive timeout/crash
 
-    with open(os.path.join(ART, "exp_largedomain_levers.json"), "w") as f:
-        json.dump(results, f, indent=1)
-    lines = ["64x64 large-domain lever table (v5e, n_thresh=40; "
-             "steps/s are FUSED 5+1 steps)",
-             f"{'config':26s} {'steps/s':>8s} {'samp-upd/s':>10s} "
-             f"{'TFLOP/s':>8s} {'MFU':>7s}"]
-    for key, r in results.items():
-        if r.get("ok"):
-            lines.append(
-                f"{key:26s} {r['steps_per_sec']:8.2f} "
-                f"{r['sample_updates_per_sec']:10.0f} "
-                f"{r.get('tflops_per_sec', float('nan')):8.2f} "
-                f"{r.get('mfu_vs_bf16_peak', float('nan')):7.4f}")
-        else:
-            lines.append(f"{key:26s}  FAILED({r.get('kind', 'error')}): "
-                         f"{r.get('error', '')[:120]}")
-    out = "\n".join(lines) + "\n"
-    with open(os.path.join(ART, "exp_largedomain_levers.txt"), "w") as f:
-        f.write(out)
-    print(out)
+    print(_write_results(results))
 
 
 if __name__ == "__main__":

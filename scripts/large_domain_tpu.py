@@ -113,10 +113,19 @@ def main():
     t0 = time.perf_counter()
     tr.fit(progress=True)
     t_end = time.perf_counter()
-    spe = max(1, n_train // batch)
-    steady = (epochs - 1) * spe / (t_end - marks["t1"]) \
+    # steady rate must count the steps each STAGE actually ran (a schedule
+    # like 4:32,4:128 runs 4x more steps per epoch in its b32 stage than
+    # the final-stage spe would suggest)
+    stages = exp.train.schedule
+
+    def spe_of(b):
+        return max(1, n_train // b)
+
+    total_steps = sum(e * spe_of(b) for e, b in stages)
+    steps_desc = " + ".join(f"{e}x{spe_of(b)}@b{b}" for e, b in stages)
+    steady = (total_steps - spe_of(stages[0][1])) / (t_end - marks["t1"]) \
         if epochs > 1 and not resumed else float("nan")
-    emit(f"[train] {epochs} epochs x {spe} steps: total {t_end - t0:.1f}s, "
+    emit(f"[train] {steps_desc} steps: total {t_end - t0:.1f}s, "
          f"steady {steady:.2f} steps/s (bf16 default, excl. compile epoch)")
 
     # evaluate the epoch-8 EXPORT (the reference evaluates from the saved

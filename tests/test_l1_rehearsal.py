@@ -6,9 +6,10 @@ evaluate -> parity-report, all through the reference's on-disk file
 contracts ({start}-{end}_tres1.npy naming per reformat_data.py:86-91,
 valid_indices_*.pkl per compute_valid_indices.py:91-99).
 
-This is the slowest test in the suite (~10 min on the contended 1-core
-box): it trains a real flagship-width model for an epoch via the CLI.
-Excluded from -m quick by design.
+The train stage uses `--model-preset tiny` (the smoke architecture):
+this drill is about the FILE CONTRACTS, not model quality — flagship
+width at f32 on one CPU core times out.  Still one of the slower tests
+(~2-8 min depending on contention); excluded from -m quick by design.
 """
 
 import json
